@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+The reference builds a bare session with all defaults
+(``/root/reference/etl_process.py:202``): no Arrow, 200 shuffle
+partitions, no AQE. This factory is the engine's single entry point
+for sessions and encodes the scale posture:
+
+- AQE on (runtime partition coalescing, skew-join splitting,
+  broadcast-join demotion/promotion at runtime);
+- Arrow on for any pandas interchange (Pandas UDFs, createDataFrame);
+- shuffle partitions sized to the local core count instead of the
+  200 default (on a real cluster this is overridden to ~2-3x total
+  cores, and AQE coalesces down from there);
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "etl_xlsx_potgres_spark"
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(1, int(cpus))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = default_parallelism()
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings applied when a session is handed to us by the driver.
+
+    The driver owns session creation for verify runs; we only set
+    conf that is safe to change at runtime.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
