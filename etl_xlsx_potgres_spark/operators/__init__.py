@@ -1,0 +1,30 @@
+from .clean import (
+    conditional_cast,
+    digits_only,
+    normalize_headers,
+    parse_date,
+    phone_normalize,
+    stringify_legacy,
+    with_defaults,
+)
+from .dedup import dedup_arbitrary, dedup_deterministic
+from .joins import fk_lookup, new_rows
+from .quality import validate_split
+from .reshape import extract_dimension, unpivot
+
+__all__ = [
+    "conditional_cast",
+    "digits_only",
+    "normalize_headers",
+    "parse_date",
+    "phone_normalize",
+    "stringify_legacy",
+    "with_defaults",
+    "dedup_arbitrary",
+    "dedup_deterministic",
+    "fk_lookup",
+    "new_rows",
+    "validate_split",
+    "extract_dimension",
+    "unpivot",
+]

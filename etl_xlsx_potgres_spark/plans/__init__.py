@@ -1,4 +1,4 @@
 """Query library. Importing this package registers every query/oracle
 pair into ``etl_xlsx_potgres_spark.registry``."""
 
-from . import relational  # noqa: F401
+from . import reference_surface, relational  # noqa: F401
