@@ -16,6 +16,7 @@ resolved against the declared schema at plan time).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -83,26 +84,51 @@ SCHEMAS: dict[str, T.StructType] = {
         ("value", T.DoubleType()),
         ("props", T.StringType()),
     ),
-    "documents": _struct(
-        ("doc_id", T.LongType()),
-        ("text", T.StringType()),
-        ("lang", T.StringType()),
-        ("source", T.StringType()),
-        ("n_chars", T.LongType()),
-    ),
-    "embeddings": _struct(
-        ("vec_id", T.LongType()),
-        ("embedding", T.ArrayType(T.FloatType())),
-        ("label", T.IntegerType()),
+}
+
+# events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+# ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 nanos and truncate to
+# micros (integer division — matches DuckDB's ns->us truncation), so
+# downstream code and the oracle see identical TimestampType values.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+_RAW_SCHEMAS: dict[str, T.StructType] = {
+    "events": _struct(
+        ("event_id", T.LongType()),
+        ("ts", T.LongType()),
+        ("user_id", T.LongType()),
+        ("event_type", T.StringType()),
+        ("value", T.DoubleType()),
+        ("props", T.StringType()),
     ),
 }
+
+SCHEMAS["documents"] = _struct(
+    ("doc_id", T.LongType()),
+    ("text", T.StringType()),
+    ("lang", T.StringType()),
+    ("source", T.StringType()),
+    ("n_chars", T.LongType()),
+)
+SCHEMAS["embeddings"] = _struct(
+    ("vec_id", T.LongType()),
+    ("embedding", T.ArrayType(T.FloatType())),
+    ("label", T.IntegerType()),
+)
 
 TABLE_NAMES = tuple(SCHEMAS)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its declared schema."""
-    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(_RAW_SCHEMAS[name]).parquet(path)
+        for c in _NANOS_TS_COLS[name]:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        return df
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
