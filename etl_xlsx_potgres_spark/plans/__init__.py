@@ -1,4 +1,15 @@
 """Query library. Importing this package registers every query/oracle
 pair into ``etl_xlsx_potgres_spark.registry``."""
 
-from . import functions_pack, reference_surface, relational, windows_aggs  # noqa: F401
+from . import (  # noqa: F401
+    dedup_fuzzy,
+    functions_pack,
+    multimodal,
+    reference_surface,
+    relational,
+    similarity,
+    streaming_queries,
+    text_analysis,
+    timeseries,
+    windows_aggs,
+)

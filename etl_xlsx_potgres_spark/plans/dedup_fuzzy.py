@@ -1,0 +1,233 @@
+"""Deduplication suite over the documents/embeddings tables: exact
+(hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — the dedup stages of an LLM data pipeline.
+
+Scale shapes (the whole point of each design):
+
+- exact: one shuffle on the fingerprint; survivors via min(doc_id).
+- n-gram Jaccard: NEVER all-pairs. Explode distinct shingles,
+  self-join on shingle (shuffle co-locates equal shingles), count
+  intersections per pair, compute |A∪B| = |A|+|B|−|A∩B|. Cost is
+  Σ_shingle freq² — bounded by shingle-frequency capping at scale.
+- MinHash+LSH: fixed-size signature per doc (map-only), band keys,
+  shuffle on band key only. Candidate pairs = docs sharing ≥1 band.
+  Hashes are md5-based and portable (operators/text.py) so the DuckDB
+  oracle reproduces them bit-for-bit.
+- SimHash: fixed 32-bit signature, map-only; banding on signature
+  quarters for candidates.
+- embedding cosine: label-blocked pairs (in production: LSH/IVF
+  buckets) + exact cosine verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    fingerprint,
+    minhash_signature,
+    shingles,
+    simhash_bits,
+    sql_minhash_exprs,
+    sql_simhash_expr,
+)
+from ..registry import register
+from ..sources import load_table
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    f"CASE WHEN len({_DUCK_TOKENS}) >= 3 THEN "
+    f"list_transform(generate_series(1, len({_DUCK_TOKENS}) - 2), "
+    f"i -> array_to_string(list_slice({_DUCK_TOKENS}, i, i + 2), ' ')) "
+    f"ELSE [] END"
+)
+
+
+@register(
+    "dedup_exact_documents",
+    oracle=f"""
+    SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    GROUP BY fp
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS s
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, inter,
+           sa.n + sb.n - inter AS uni,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "s")
+    b = sh.select(F.col("doc_id").alias("d2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    out = (
+        pairs.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("uni"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+    return out.select("d1", "d2", "inter", "uni", "jaccard")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {", ".join(sql_minhash_exprs("text"))}
+    FROM documents
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", *minhash_signature("text"))
+
+
+# LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
+# sharing any band key are near-dup candidates; at scale the only
+# shuffle is on (band_id, band_key).
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, {", ".join(sql_minhash_exprs("text"))}
+      FROM documents
+      WHERE len({_DUCK_TOKENS}) >= 3
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           COUNT(DISTINCT a.band_id) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.band_id = b.band_id
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select("doc_id", *minhash_signature("text")).filter(
+        F.col("mh0").isNotNull()
+    )
+    bands = None
+    for band_id in range(4):
+        lo, hi = f"mh{2 * band_id}", f"mh{2 * band_id + 1}"
+        band = sig.select(
+            "doc_id",
+            F.lit(band_id).alias("band_id"),
+            F.md5(F.concat(F.col(lo), F.col(hi))).alias("band_key"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.countDistinct("band_id").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {sql_simhash_expr("text")} AS simhash,
+           substring({sql_simhash_expr("text")}, 1, 8) AS band0
+    FROM documents
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = simhash_bits("text")
+    return d.select(
+        "doc_id", sig.alias("simhash"), F.substring(sig, 1, 8).alias("band0")
+    )
+
+
+# Embedding-cosine near-duplicate pairs, blocked by label (the stand-in
+# for an LSH/IVF bucket at scale), verified by exact cosine.
+@register(
+    "dedup_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+          >= 0.9
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"), "label"
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    cosine = dot / (norm("ea") * norm("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )

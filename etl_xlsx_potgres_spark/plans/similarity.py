@@ -1,0 +1,132 @@
+"""Similarity search over the embeddings table.
+
+- ``ann_cosine_topk``: exact brute-force cosine top-k (the baseline
+  and the recall oracle). At 100 TB this is the per-bucket inner loop,
+  not the global strategy.
+- ``ann_lsh_topk``: random-hyperplane LSH bucketing — the scale path.
+  Probes only the query's bucket (plus the exact re-rank within it);
+  the hyperplanes are md5-derived so the bucketing is deterministic
+  and reproducible across engines/runs. Rows-only check + a recall
+  pytest against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT q.vec_id AS qid, v.vec_id AS vec_id,
+             list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+               AS cosine,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               list_sum(list_transform(list_zip(q.embedding, v.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+               DESC, v.vec_id) AS rn
+      FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("vv"))
+    cosine = _dot("qv", "vv") / (_norm("qv") * _norm("vv"))
+    scored = (
+        q.join(F.broadcast(v), F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rn")
+    )
+
+
+# Scale path: random-hyperplane LSH. Each vector's bucket is the sign
+# pattern of its projections onto n_planes deterministic pseudo-random
+# hyperplanes (md5-derived coefficients in [-0.5, 0.5)). Probing only
+# the query's bucket turns all-pairs O(N·Q) into O(N·Q / 2^planes)
+# expected — re-ranked exactly within the bucket.
+N_PLANES = 4
+
+
+def _plane_term(p: int):
+    def term(x, i):
+        coeff = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{p}_"), i)), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(float(16**8))
+            - 0.5
+        )
+        return x.cast("double") * coeff
+
+    return term
+
+
+def _lsh_bucket(vec_col):
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+@register("ann_lsh_topk", oracle=None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _lsh_bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+    )
+    v = emb.select("vec_id", F.col("embedding").alias("vv"), "bucket")
+    cosine = _dot("qv", "vv") / (_norm("qv") * _norm("vv"))
+    scored = (
+        q.join(v, "bucket")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rn")
+    )

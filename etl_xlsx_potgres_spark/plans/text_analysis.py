@@ -1,0 +1,191 @@
+"""Text-analysis queries over the documents table: token counting,
+quality scoring, language ID, fingerprinting — the per-document stage
+of an LLM training-data pipeline. Embarrassingly parallel (no
+shuffles except final aggregates): at 100 TB this is a single
+map-only pass per document partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    CJK_RANGE,
+    LANG_MARKERS,
+    fingerprint,
+    normalize_text,
+    token_count,
+)
+from ..registry import register
+from ..sources import load_table
+
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           length(text) AS n_chars,
+           len(list_distinct({_DUCK_TOKENS})) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, digit_ratio,
+           0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(stopword_ratio * 5.0, 1.0) AS quality
+    FROM (
+      SELECT doc_id,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+               / greatest(length(text), 1) AS punct_ratio,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is)\\b')) * 1.0
+               / greatest(len({_DUCK_TOKENS}), 1) AS stopword_ratio,
+             len(regexp_extract_all(text, '[0-9]')) * 1.0
+               / greatest(length(text), 1) AS digit_ratio
+      FROM documents
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    punct = F.regexp_count("text", F.lit(r"[^\w\s]")) * 1.0 / n_chars
+    stop = (
+        F.regexp_count(F.lower("text"), F.lit(LANG_MARKERS["en"]))
+        * 1.0
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    digit = F.regexp_count("text", F.lit("[0-9]")) * 1.0 / n_chars
+    base = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+        digit.alias("digit_ratio"),
+    )
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct_ratio"))
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return base.withColumn("quality", quality)
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN c_zh > 0 THEN 'zh'
+                WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
+                WHEN c_de >= greatest(c_es, c_fr) THEN 'de'
+                WHEN c_es >= c_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang,
+           c_en, c_de, c_es, c_fr
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["en"]}')) AS c_en,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["de"]}')) AS c_de,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS c_es,
+             len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS c_fr,
+             len(regexp_extract_all(text, '{CJK_RANGE}')) AS c_zh
+      FROM documents
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    counts = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.regexp_count(low, F.lit(LANG_MARKERS["en"])).cast("long").alias("c_en"),
+        F.regexp_count(low, F.lit(LANG_MARKERS["de"])).cast("long").alias("c_de"),
+        F.regexp_count(low, F.lit(LANG_MARKERS["es"])).cast("long").alias("c_es"),
+        F.regexp_count(low, F.lit(LANG_MARKERS["fr"])).cast("long").alias("c_fr"),
+        F.regexp_count(F.col("text"), F.lit(CJK_RANGE)).cast("long").alias("c_zh"),
+    )
+    pred = (
+        F.when(F.col("c_zh") > 0, "zh")
+        .when(F.col("c_en") >= F.greatest("c_de", "c_es", "c_fr"), "en")
+        .when(F.col("c_de") >= F.greatest("c_es", "c_fr"), "de")
+        .when(F.col("c_es") >= F.col("c_fr"), "es")
+        .otherwise("fr")
+    )
+    return counts.select(
+        "doc_id",
+        "labeled_lang",
+        pred.alias("predicted_lang"),
+        "c_en",
+        "c_de",
+        "c_es",
+        "c_fr",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                      '\\s+', ' ', 'g'))) AS normalized_len
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.length(normalize_text("text")).alias("normalized_len"),
+    )
+
+
+# Corpus-level rollup: per-language document stats — the shape of a
+# corpus QA report (one small shuffle on lang).
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           SUM(len({_DUCK_TOKENS})) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -310,7 +310,6 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-            "approx_price_quantiles"
-        ),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95_price"),
     )
