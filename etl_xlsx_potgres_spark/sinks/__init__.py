@@ -1,0 +1,10 @@
+from .jdbc import JdbcTarget, append, build_upsert_sql, upsert_insert_if_absent
+from .quarantine import write_quarantine
+
+__all__ = [
+    "JdbcTarget",
+    "append",
+    "build_upsert_sql",
+    "upsert_insert_if_absent",
+    "write_quarantine",
+]

@@ -1,0 +1,144 @@
+"""JDBC sink: set-based append and idempotent upsert.
+
+Replaces the reference's load phase — one psycopg2 connection per
+table, one ``INSERT``/``SELECT`` round-trip per row, ~8,400 sequential
+statements for 1,200 rows (``/root/reference/etl_process.py:29-191``,
+SURVEY.md §3.3) — with:
+
+- ``append``: ``df.write.jdbc`` — N partitions write over N parallel
+  connections with ``batchsize``-row statement batching; throughput
+  scales with the cluster, not with driver round-trips.
+- ``upsert_insert_if_absent``: the reference's
+  ``INSERT ... ON CONFLICT (key) DO NOTHING`` (:40,:75) as
+  read-back-keys -> left_anti -> append. Idempotent under re-runs.
+  Under *concurrent* writers the anti-join race remains, so the sink
+  table's UNIQUE constraint stays the final arbiter — pair with
+  ``build_upsert_sql`` through ``foreachPartition`` when true
+  statement-level ON CONFLICT is required.
+- ``foreach_partition_upsert``: per-partition batched
+  ``INSERT ... ON CONFLICT`` through a DB-API driver (psycopg2),
+  import-gated since this runtime ships no Postgres client/server.
+
+No Postgres is reachable in this environment; the statement builder
+and anti-join logic are unit-tested, the network paths are exercised
+in integration environments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.joins import new_rows
+
+
+@dataclass
+class JdbcTarget:
+    url: str  # e.g. jdbc:postgresql://host:5432/etl_tsmx
+    table: str
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def dbapi_dsn(self) -> str:
+        """jdbc:postgresql://host:port/db -> DB-API DSN."""
+        return self.url.removeprefix("jdbc:")
+
+
+def append(
+    df: DataFrame,
+    target: JdbcTarget,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+) -> None:
+    """Parallel batched INSERT append."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .option("url", target.url)
+        .option("dbtable", target.table)
+        .option("batchsize", str(batchsize))
+        .options(**target.properties)
+        .mode("append")
+        .save()
+    )
+
+
+def read_keys(spark: SparkSession, target: JdbcTarget, keys: list[str]) -> DataFrame:
+    """Read back only the key columns of the target table (column
+    pruning pushes into the remote query)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", target.url)
+        .option("dbtable", f"(SELECT {', '.join(keys)} FROM {target.table}) t")
+        .options(**target.properties)
+        .load()
+    )
+
+
+def upsert_insert_if_absent(
+    df: DataFrame, target: JdbcTarget, keys: list[str], batchsize: int = 10_000
+) -> None:
+    """Set-based INSERT ... ON CONFLICT DO NOTHING."""
+    existing = read_keys(df.sparkSession, target, keys)
+    append(new_rows(df, existing, keys), target, batchsize=batchsize)
+
+
+def build_upsert_sql(
+    table: str,
+    columns: list[str],
+    conflict_keys: list[str],
+    do_update: bool = False,
+) -> str:
+    """Statement for per-partition executemany upsert. Pure function —
+    unit-tested without a live database."""
+    collist = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    sql = f"INSERT INTO {table} ({collist}) VALUES ({placeholders})"
+    conflict = ", ".join(conflict_keys)
+    if do_update:
+        updates = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in columns if c not in conflict_keys
+        )
+        return f"{sql} ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    return f"{sql} ON CONFLICT ({conflict}) DO NOTHING"
+
+
+def foreach_partition_upsert(
+    df: DataFrame,
+    target: JdbcTarget,
+    conflict_keys: list[str],
+    do_update: bool = False,
+    batch_rows: int = 1_000,
+) -> None:
+    """Executor-side batched ON CONFLICT upsert: each partition opens
+    one connection and executes batched statements — preserves the
+    reference's statement-level conflict semantics at partition
+    parallelism instead of row-at-a-time."""
+    columns = df.columns
+    sql = build_upsert_sql(target.table, columns, conflict_keys, do_update)
+    dsn = target.dbapi_dsn()
+
+    def write_partition(rows) -> None:
+        try:
+            import psycopg2
+        except ImportError as exc:  # pragma: no cover - no client in runtime
+            raise NotImplementedError(
+                "foreach_partition_upsert requires psycopg2 on executors; "
+                "use upsert_insert_if_absent (pure JDBC) instead"
+            ) from exc
+        conn = psycopg2.connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                batch = []
+                for row in rows:
+                    batch.append(tuple(row[c] for c in columns))
+                    if len(batch) >= batch_rows:
+                        cur.executemany(sql, batch)
+                        batch.clear()
+                if batch:
+                    cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)

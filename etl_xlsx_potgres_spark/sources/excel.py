@@ -1,0 +1,101 @@
+"""Excel workbook source.
+
+Reference behavior re-expressed (``/root/reference/importador.py``):
+intake validation (:10-28 — exists, .xlsx, copy to landing dir),
+sheet enumeration (:33-34), preview (:39), single-sheet read into a
+driver DataFrame (:47) handed to Spark (etl_process.py:203).
+
+Engine posture:
+- xlsx is driver-bound by nature (zip container, no splittable
+  row-groups). The engine reads it driver-side with openpyxl/pandas
+  and immediately crosses into a Spark DataFrame **with a declared
+  schema** over Arrow — no double inference.
+- At 100 TB scale the answer is not a better xlsx reader: it is
+  ``convert_to_parquet`` at the ingestion edge, after which every
+  downstream stage gets splittable, pushdown-capable scans. The
+  landing-dir model maps to a Structured Streaming file source for
+  continuous ingest (see streaming/).
+
+openpyxl is not installed in this runtime; every entry point is
+import-gated with a clear error, and the pipeline is tested from the
+DataFrame boundary (tests/test_pipeline.py builds the FIXTURES.md A1
+synthetic clone directly).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _require_pandas_excel():
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "xlsx reading requires openpyxl, which is not installed in "
+            "this runtime; convert workbooks to parquet at the edge "
+            "(convert_to_parquet) or install openpyxl"
+        ) from exc
+
+
+def validate_intake(path: str, landing_dir: str) -> str:
+    """File intake: path exists, .xlsx extension, copy into the landing
+    directory (importador.py:10-28 semantics). Returns the landed path."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"arquivo não encontrado: {path}")
+    if not path.lower().endswith(".xlsx"):
+        raise ValueError(f"extensão inválida (esperado .xlsx): {path}")
+    os.makedirs(landing_dir, exist_ok=True)
+    dest = os.path.join(landing_dir, os.path.basename(path))
+    shutil.copy2(path, dest)
+    return dest
+
+
+def sheet_names(path: str) -> list[str]:
+    """Workbook sheet enumeration (importador.py:33-34)."""
+    _require_pandas_excel()
+    import pandas as pd
+
+    return pd.ExcelFile(path).sheet_names
+
+
+def read_workbook(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int = 0,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """One sheet -> Spark DataFrame. Declared schema strongly
+    recommended; without it the pandas dtypes are converted via Arrow
+    (still a single inference, not the reference's double one)."""
+    _require_pandas_excel()
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet)
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def preview(spark: SparkSession, path: str, n: int = 5) -> dict[str, list]:
+    """First n rows of every sheet (importador.py:33-42)."""
+    _require_pandas_excel()
+    import pandas as pd
+
+    xl = pd.ExcelFile(path)
+    return {s: xl.parse(s).head(n).to_dict("records") for s in xl.sheet_names}
+
+
+def convert_to_parquet(
+    spark: SparkSession, xlsx_path: str, out_dir: str, sheet: str | int = 0
+) -> str:
+    """Edge conversion: xlsx -> parquet, the scale path. Downstream
+    reads become splittable columnar scans with pushdown."""
+    df = read_workbook(spark, xlsx_path, sheet)
+    out = os.path.join(out_dir, os.path.splitext(os.path.basename(xlsx_path))[0])
+    df.write.mode("overwrite").parquet(out)
+    return out
