@@ -72,16 +72,27 @@ def shingles(c: Column | str, k: int = 3) -> Column:
 def minhash_signature(c: Column | str, n_hashes: int = 8, k: int = 3) -> list[Column]:
     """Portable MinHash: for seed i, min over shingles of
     md5('<i>|' || shingle) (lexicographic). Returns one column per
-    hash, aliased mh0..mh{n-1}. NULL when the doc has no shingles."""
-    sh = shingles(c, k)
+    hash, aliased mh0..mh{n-1}. NULL when the doc has no shingles.
+
+    Callers with more than one signature should materialize the
+    shingle array once (``df.withColumn("sh", shingles(c))``) and use
+    :func:`minhash_from_shingles` — otherwise each of the n hash
+    expressions re-derives tokenization+shingling, which multiplies
+    both codegen size and per-row work by n."""
+    return minhash_from_shingles(shingles(c, k), n_hashes)
+
+
+def minhash_from_shingles(sh: Column | str, n_hashes: int = 8) -> list[Column]:
+    """MinHash columns over a pre-materialized shingle array column."""
+    shc = _c(sh)
 
     def seeded(i: int):
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
-    out = []
-    for i in range(n_hashes):
-        out.append(F.array_min(F.transform(sh, seeded(i))).alias(f"mh{i}"))
-    return out
+    return [
+        F.array_min(F.transform(shc, seeded(i))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
 
 
 def sql_minhash_exprs(text_expr: str, n_hashes: int = 8, k: int = 3) -> list[str]:
@@ -104,17 +115,24 @@ def simhash_bits(c: Column | str, n_bits: int = 32) -> Column:
     '0'/'1' string (portable across engines; callers band on
     substrings of it). Bit j is set when the majority-weighted j-th
     md5 nibble of the doc's tokens is >= 8."""
-    toks = tokens(c)
+    return simhash_from_md5s(F.transform(tokens(c), F.md5), n_bits)
 
-    # weight +1 if nibble j of md5(token) >= 8 else -1, summed over tokens
+
+def simhash_from_md5s(md5s: Column | str, n_bits: int = 32) -> Column:
+    """SimHash bits over a pre-materialized array of per-token md5
+    hex digests (one md5 per token total, instead of one per token
+    per bit — callers should ``withColumn`` the digest array first)."""
+    hc = _c(md5s)
+
+    # weight +1 if nibble j of the token digest >= 8 else -1
     def nibble_weight(j: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), j + 1, 1).isin(*"89abcdef"), F.lit(1)
+        return lambda acc, h: acc + F.when(
+            F.substring(h, j + 1, 1).isin(*"89abcdef"), F.lit(1)
         ).otherwise(F.lit(-1))
 
     bits = []
     for j in range(n_bits):
-        contrib = F.aggregate(toks, F.lit(0), nibble_weight(j))
+        contrib = F.aggregate(hc, F.lit(0), nibble_weight(j))
         bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -131,3 +149,36 @@ def sql_simhash_expr(text_expr: str, n_bits: int = 32) -> str:
         )
         parts.append(f"CASE WHEN COALESCE({contrib}, 0) > 0 THEN '1' ELSE '0' END")
     return " || ".join(parts)
+
+
+def shingles_long(df, text_col: str = "text", k: int = 3, id_col: str = "doc_id"):
+    """Long-form word k-gram shingles: (id_col, s) — one row per
+    shingle occurrence.
+
+    All-codegen shape: posexplode the token split, then window
+    ``lead`` to stitch k-grams. Higher-order array functions
+    (transform/filter/aggregate) evaluate interpreted per-row in
+    Spark, so the array-based :func:`shingles` costs ~4x more wall
+    time at corpus scale; this form also feeds groupBy/join consumers
+    directly without a second explode. One shuffle on id_col (the
+    window), which downstream groupBys reuse.
+
+    Documents with fewer than k tokens produce no rows — callers
+    needing every document left-join back to the document list.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "pos", "t"
+        ),
+    ).filter(F.col("t") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("t", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    stitched = toks.select(id_col, F.col("t"), *leads)
+    gram_cols = ["t", *[f"t{i}" for i in range(1, k)]]
+    return (
+        stitched.filter(F.col(f"t{k - 1}").isNotNull())
+        .select(id_col, F.concat_ws(" ", *gram_cols).alias("s"))
+    )

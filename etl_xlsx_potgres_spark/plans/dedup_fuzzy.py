@@ -26,11 +26,10 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     fingerprint,
-    minhash_signature,
-    shingles,
-    simhash_bits,
+    shingles_long,
     sql_minhash_exprs,
     sql_simhash_expr,
+    tokens,
 )
 from ..registry import register
 from ..sources import load_table
@@ -87,9 +86,9 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("s")
-    )
+    # cached: the distinct shingle set feeds three consumers (sizes +
+    # both join sides); without the cache the pipeline runs 3x
+    sh = shingles_long(d, "text", 3).distinct().cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
@@ -111,6 +110,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("d1", "d2", "inter", "uni", "jaccard")
 
 
+def _minhash_sig_df(d: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh7 via long-form shingles + groupBy-min: one md5
+    per (shingle, seed), partial min map-side, the shuffle carries
+    only (doc_id, 8 hashes) — the shape that survives 100 TB corpora
+    (vs evaluating 8 interpreted array-fold expressions per row).
+    Docs with no shingles are restored with NULL signatures (matching
+    the array formulation and the oracle)."""
+    sh = shingles_long(d, "text", 3)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return d.select("doc_id").join(sig, "doc_id", "left")
+
+
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
@@ -119,8 +134,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", *minhash_signature("text"))
+    return _minhash_sig_df(load_table(spark, sf_dir, "documents"))
 
 
 # LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
@@ -150,18 +164,23 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", *minhash_signature("text")).filter(
-        F.col("mh0").isNotNull()
+    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
+    # one pass: explode the 4 band keys from the signature row instead
+    # of unioning 4 recomputations of the signature subplan
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.md5(F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))).alias(
+                    "band_key"
+                ),
+            )
+            for i in range(4)
+        ]
     )
-    bands = None
-    for band_id in range(4):
-        lo, hi = f"mh{2 * band_id}", f"mh{2 * band_id + 1}"
-        band = sig.select(
-            "doc_id",
-            F.lit(band_id).alias("band_id"),
-            F.md5(F.concat(F.col(lo), F.col(hi))).alias("band_key"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
     return (
@@ -181,10 +200,38 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode tokens -> one md5 per token -> 32 map-side-partial ±1
+    # sums -> groupBy doc -> bit string. Same scale shape as MinHash:
+    # the shuffle carries (doc_id, 32 small ints).
     d = load_table(spark, sf_dir, "documents")
-    sig = simhash_bits("text")
-    return d.select(
-        "doc_id", sig.alias("simhash"), F.substring(sig, 1, 8).alias("band0")
+    exploded = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", F.md5("t").alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    # left join restores token-less docs (their bits coalesce to '0')
+    per_doc = d.select("doc_id").join(
+        exploded.groupBy("doc_id").agg(*sums), "doc_id", "left"
+    )
+    bits = F.concat(
+        *[
+            F.when(F.coalesce(F.col(f"b{j}"), F.lit(0)) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(32)
+        ]
+    )
+    return per_doc.select(
+        "doc_id", bits.alias("simhash"), F.substring(bits, 1, 8).alias("band0")
     )
 
 
