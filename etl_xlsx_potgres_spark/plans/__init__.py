@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     multimodal,
     reference_surface,
     relational,
+    relational_extra,
     similarity,
     streaming_queries,
     text_analysis,

@@ -1,0 +1,188 @@
+"""Additional relational coverage: scalar and correlated subqueries,
+HAVING, RANGE window frames, lateral explode (posexplode), union by
+name, explicit null ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import fixed, sql_fixed
+from ..registry import register
+from ..sources import load_table
+
+
+# Scalar subquery: customers above the global average balance. The
+# aggregate is computed once and broadcast into the filter.
+@register(
+    "subquery_above_avg_balance",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE CAST(c_acctbal*10000 AS BIGINT) > (
+      SELECT CAST(AVG(CAST(c_acctbal*10000 AS BIGINT)) AS BIGINT) FROM customer)
+    """,
+)
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_sq")
+    # exact integer-scaled comparison keeps the threshold engine-stable
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq
+        WHERE CAST(c_acctbal*10000 AS BIGINT) > (
+          SELECT CAST(AVG(CAST(c_acctbal*10000 AS BIGINT)) AS BIGINT) FROM customer_sq)
+        """
+    )
+
+
+# Correlated subquery: each customer's most expensive order (rewritten
+# by Catalyst into a join; expressed correlated for surface coverage).
+@register(
+    "subquery_correlated_max_order",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT MAX(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order_price
+    FROM customer c
+    """,
+)
+def subquery_correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_corr")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders_corr o
+                WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        FROM customer_corr c
+        """
+    )
+
+
+@register(
+    "agg_having_active_customers",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM({sql_fixed("o_totalprice")}) AS DOUBLE)/10000 AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    """,
+)
+def agg_having_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(fixed("o_totalprice")).cast("double") / 10000).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# RANGE frame: spend within the last 30 days of each order, per
+# customer — value-based frame, not row-count-based.
+@register(
+    "win_range_frame_30d_spend",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, d,
+           CAST(SUM({sql_fixed("o_totalprice")}) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)/10000
+             AS spend_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+          FROM orders)
+    """,
+)
+def win_range_frame_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "d", F.unix_date(F.to_date("o_orderdate"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "d",
+        (F.sum(fixed("o_totalprice")).over(w).cast("double") / 10000).alias("spend_30d"),
+    )
+
+
+# Lateral explode with ordinality (posexplode): one row per word of
+# p_type with its position.
+@register(
+    "fn_posexplode_words",
+    oracle="""
+    SELECT p_partkey, pos, word FROM (
+      SELECT p_partkey,
+             unnest(list_transform(string_split(p_type, ' '),
+                    (x, i) -> struct_pack(pos := i - 1, word := x)),
+                    recursive := true)
+      FROM part
+    )
+    """,
+)
+def fn_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_type", " ")).alias("pos", "word")
+    )
+
+
+# Union-by-name across differently-ordered projections.
+@register(
+    "setops_union_by_name",
+    oracle="""
+    SELECT key, name, kind FROM (
+      SELECT c_custkey AS key, c_name AS name, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_suppkey AS key, s_name AS name, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def setops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("key"),
+    )
+    return c.unionByName(s)
+
+
+# Explicit null ordering: NULLS FIRST / LAST must be stable and
+# deterministic (keys seeded with NULLIF).
+@register(
+    "sort_null_ordering",
+    oracle="""
+    SELECT c_custkey, seg,
+           row_number() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey) AS rn_nf,
+           row_number() OVER (ORDER BY seg DESC NULLS LAST, c_custkey) AS rn_nl
+    FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer)
+    """,
+)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    return c.select(
+        "c_custkey",
+        "seg",
+        F.row_number()
+        .over(Window.orderBy(F.col("seg").asc_nulls_first(), "c_custkey"))
+        .alias("rn_nf"),
+        F.row_number()
+        .over(Window.orderBy(F.col("seg").desc_nulls_last(), "c_custkey"))
+        .alias("rn_nl"),
+    )
