@@ -12,5 +12,6 @@ from . import (  # noqa: F401
     streaming_queries,
     text_analysis,
     timeseries,
+    tpch_adapted,
     windows_aggs,
 )
