@@ -1,0 +1,110 @@
+"""Structured Streaming behavior tests that a single-batch run can't
+show: multi-microbatch incremental processing, watermark late-data
+drop, and custom keyed state across batches."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(spark, path: str, rows: list[tuple]) -> None:
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    spark.createDataFrame(pdf, schema=EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    time.sleep(0.05)  # distinct file mtimes keep batch order stable
+
+
+def _ts(h: int, m: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "landing")
+
+
+def test_watermark_drops_late_data(spark, stream_dir):
+    """Append-mode windowed agg: a row older than the watermark must
+    not reopen its (already emitted) window."""
+    os.makedirs(stream_dir, exist_ok=True)
+    _write_batch(spark, stream_dir, [(1, _ts(0, 10), 1, 1.0), (2, _ts(0, 20), 2, 1.0)])
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance event time to hour 5 -> watermark 4:00, h0 window closes
+        _write_batch(spark, stream_dir, [(3, _ts(5, 0), 1, 1.0)])
+        q.processAllAvailable()
+        closed = {r.bucket: r.n for r in spark.table("late_sink").collect()}
+        assert closed.get(_ts(0)) == 2  # h0 emitted with on-time rows only
+
+        # a straggler at h0 arrives after the watermark passed
+        _write_batch(spark, stream_dir, [(4, _ts(0, 30), 3, 1.0)])
+        q.processAllAvailable()
+        final = {r.bucket: r.n for r in spark.table("late_sink").collect()}
+        assert final.get(_ts(0)) == 2, "late row beyond watermark must be dropped"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stateful_profile_across_batches(spark, stream_dir):
+    """applyInPandasWithState keeps per-user accumulators across
+    micro-batches; final state equals the batch aggregate."""
+    from etl_xlsx_potgres_spark.streaming.stateful import running_user_profile
+
+    os.makedirs(stream_dir, exist_ok=True)
+    _write_batch(
+        spark, stream_dir, [(1, _ts(1), 1, 10.0), (2, _ts(1, 30), 1, 5.0), (3, _ts(2), 2, 7.0)]
+    )
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        running_user_profile(events)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profile_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, stream_dir, [(4, _ts(3), 1, 2.5), (5, _ts(3, 10), 3, 1.0)])
+        q.processAllAvailable()
+        # update-mode sink: last emission per user wins
+        pdf = spark.table("profile_sink").toPandas()
+        latest = pdf.groupby("user_id").last()
+        assert latest.loc[1, "n_events"] == 3 and latest.loc[1, "total_value"] == 17.5
+        assert latest.loc[2, "n_events"] == 1 and latest.loc[2, "total_value"] == 7.0
+        assert latest.loc[3, "n_events"] == 1
+        assert latest.loc[1, "last_ts"] == _ts(3)
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
