@@ -186,3 +186,59 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("seg").desc_nulls_last(), "c_custkey"))
         .alias("rn_nl"),
     )
+
+
+# Skew handling: lineitem's 3-value returnflag is maximally hot; the
+# salted two-stage aggregation spreads each flag over 16 reducers and
+# must produce bit-identical sums (exact fixed-point partials).
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM({sql_fixed("l_extendedprice")}) AS DOUBLE)/10000 AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li,
+        ["l_returnflag"],
+        fixed("l_extendedprice"),
+        "_scaled",
+        salt_from="l_orderkey",
+    )
+    return out.select(
+        "l_returnflag", (F.col("_scaled").cast("double") / 10000).alias("total_price")
+    )
+
+
+# Skew-safe salted shuffle join against a replicated dimension — same
+# result set as the plain join.
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT l_returnflag, flag_label, COUNT(*) AS n
+    FROM lineitem
+    JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+         AS d(l_returnflag, flag_label) USING (l_returnflag)
+    GROUP BY l_returnflag, flag_label
+    ORDER BY l_returnflag
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")],
+        schema="l_returnflag string, flag_label string",
+    )
+    joined = salted_join(li, dim, "l_returnflag", salt_from="l_orderkey")
+    return (
+        joined.groupBy("l_returnflag", "flag_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )

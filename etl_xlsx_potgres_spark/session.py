@@ -54,6 +54,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
+        # keep metastore/warehouse artifacts (derby, saveAsTable output
+        # for bucketed tables) out of the repo working directory
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby-home")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

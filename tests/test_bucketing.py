@@ -1,0 +1,54 @@
+"""Bucketing: pre-shuffled storage layout so repeated joins/aggs on
+the bucket key run with NO exchange — the 100 TB answer for a fact
+table joined on the same key by every query. Asserts the physical
+plan, not just the result."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_xlsx_potgres_spark.sources import load_table
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+
+    ob = spark.table("orders_b")
+    lb = spark.table("lineitem_b")
+    # forbid broadcast so the join would otherwise need a shuffle
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    plan = _plan_str(joined)
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+    # correctness: same result as the unbucketed join
+    expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert joined.count() == expected
+
+    # aggregation on the bucket key also skips the exchange
+    agg_plan = _plan_str(lb.groupBy("l_orderkey").agg(F.count(F.lit(1))))
+    assert "Exchange" not in agg_plan
