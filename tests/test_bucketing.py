@@ -23,8 +23,15 @@ def _plan_str(df) -> str:
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a previous session may have left the managed-table dirs behind
+    # without matching metastore entries
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (
         o.write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
