@@ -38,9 +38,14 @@ def digits_only(c: Column | str) -> Column:
 
 
 def phone_normalize(c: Column | str) -> Column:
-    """Drop ``+``/``-`` and trim (``/root/reference/etl_process.py:14-15``)
-    on a string column — ``translate`` + ``trim``, no UDF."""
-    return F.trim(F.translate(_c(c), "+-", ""))
+    """Drop ``+``/``-`` and strip surrounding whitespace
+    (``/root/reference/etl_process.py:14-15``) — ``translate`` + a
+    regexp edge-strip, no UDF. Python's ``str.strip()`` removes ALL
+    whitespace (tabs, CR...), while SQL ``trim`` removes only spaces —
+    the regexp keeps reference fidelity (found by property testing)."""
+    return F.regexp_replace(
+        F.translate(_c(c), "+-", ""), r"^\s+|\s+$", ""
+    )
 
 
 def stringify_legacy(c: Column | str) -> Column:

@@ -13,5 +13,6 @@ from . import (  # noqa: F401
     text_analysis,
     timeseries,
     tpch_adapted,
+    udaf_pandas,
     windows_aggs,
 )

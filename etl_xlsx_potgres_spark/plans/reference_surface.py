@@ -66,7 +66,8 @@ def ref_digits_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ref_phone_normalize",
     oracle="""
     SELECT c_custkey,
-           trim(replace(replace('+55-' || c_name || '  ', '+', ''), '-', '')) AS phone
+           regexp_replace(replace(replace('+55-' || c_name || '  ', '+', ''), '-', ''),
+                          '^\\s+|\\s+$', '', 'g') AS phone
     FROM customer
     """,
 )

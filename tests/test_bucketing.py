@@ -59,3 +59,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # aggregation on the bucket key also skips the exchange
     agg_plan = _plan_str(lb.groupBy("l_orderkey").agg(F.count(F.lit(1))))
     assert "Exchange" not in agg_plan
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Writing partitioned by a derived key and filtering on it must
+    prune at the directory level (PartitionFilters, not a full scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_year")
+    (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .write.partitionBy("yr")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("yr") == 1995)
+    plan = _plan_str(back)
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters")[1].split("\n")[0]
+    expected = o.filter(F.year("o_orderdate") == 1995).count()
+    assert back.count() == expected
