@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     dedup_fuzzy,
     functions_pack,
     multimodal,
+    pandas_udfs,
     reference_surface,
     relational,
     relational_extra,

@@ -114,3 +114,25 @@ def test_streaming_matches_batch(spark, sf_dir):
     batch = batch.sort_values(key).reset_index(drop=True)
     stream = stream[batch.columns].sort_values(key).reset_index(drop=True)
     assert batch.equals(stream)
+
+
+def test_cogrouped_asof_matches_window_asof(spark, sf_dir):
+    """The pd.merge_asof cogrouped implementation and the native
+    union+window implementation must agree row-for-row."""
+    from etl_xlsx_potgres_spark.registry import QUERIES, load_all
+
+    load_all()
+    native = (
+        QUERIES["join_asof_purchase_click"](spark, sf_dir)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    cogrouped = (
+        QUERIES["join_asof_cogrouped"](spark, sf_dir)
+        .toPandas()
+        .sort_values("purchase_id")
+        .reset_index(drop=True)
+    )
+    cols = ["purchase_id", "user_id", "click_id", "click_ts"]
+    assert native[cols].equals(cogrouped[cols])
