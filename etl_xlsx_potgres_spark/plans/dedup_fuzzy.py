@@ -278,3 +278,37 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
     )
+
+
+# Edit-distance near-dup: Levenshtein over blocked candidate pairs
+# (same nation = the blocking key standing in for an LSH bucket; a
+# global all-pairs Levenshtein is never the plan at scale).
+@register(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_name").alias("n1"),
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        "c_nationkey",
+    )
+    dist = F.levenshtein("n1", "n2")
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("k1", "k2", dist.alias("dist"))
+        .filter(F.col("dist") <= 2)
+    )

@@ -242,3 +242,94 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("l_returnflag")
     )
+
+
+# SCD2 emulation: each customer's orders as dimension versions with
+# validity intervals (valid_to = next version's start; NULL = current).
+# The MERGE-less engine pattern for slowly changing dimensions.
+@register(
+    "scd2_version_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS version_id,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM orders
+    """,
+)
+def scd2_version_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_id"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# MERGE INTO emulation (no Delta in this runtime): target rows are
+# replaced by matching source rows, unmatched source rows are
+# inserted — full outer join + coalesce, the anti-join+union pattern.
+@register(
+    "merge_upsert_emulation",
+    oracle="""
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           CASE WHEN s.c_custkey IS NOT NULL AND t.c_custkey IS NOT NULL THEN 'updated'
+                WHEN s.c_custkey IS NOT NULL THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0) t
+    FULL OUTER JOIN
+         (SELECT c_custkey, c_acctbal + 100 AS c_acctbal FROM customer
+          WHERE c_custkey % 3 = 0) s
+    ON t.c_custkey = s.c_custkey
+    """,
+)
+def merge_upsert_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("t_key"), F.col("c_acctbal").alias("t_bal")
+    )
+    source = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("s_key"), (F.col("c_acctbal") + 100).alias("s_bal")
+    )
+    merged = target.join(source, target.t_key == source.s_key, "full_outer")
+    action = (
+        F.when(F.col("s_key").isNotNull() & F.col("t_key").isNotNull(), "updated")
+        .when(F.col("s_key").isNotNull(), "inserted")
+        .otherwise("kept")
+    )
+    return merged.select(
+        F.coalesce("s_key", "t_key").alias("c_custkey"),
+        F.coalesce("s_bal", "t_bal").alias("c_acctbal"),
+        action.alias("merge_action"),
+    )
+
+
+# Histogram: fixed-width bucketing — the groupBy form of a numeric
+# profile (each bucket a partial count; one tiny shuffle).
+@register(
+    "histogram_order_price",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
