@@ -181,3 +181,25 @@ def build_outputs(
         "quarantine_contratos": quarantine,
         "metrics": metrics,
     }
+
+
+def transform_with_observation(raw: DataFrame):
+    """Like :func:`transform`, but attaches a pyspark Observation so
+    run metrics (rows in, distinct keys, null plano count) come out of
+    the SAME job that computes the result — no extra counting actions
+    (upgrades the reference's post-hoc count at etl_process.py:215).
+
+    Returns ``(cleaned, observation)``; read ``observation.get`` after
+    the first action on ``cleaned``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("etl_metrics")
+    df = normalize_headers(raw)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.approx_count_distinct("CPF_CNPJ").alias("approx_keys_in"),
+        F.sum(F.when(F.col("Plano").isNull(), 1).otherwise(0)).alias("null_planos"),
+    )
+    return transform(observed), obs

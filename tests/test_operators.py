@@ -136,3 +136,53 @@ def test_cogrouped_asof_matches_window_asof(spark, sf_dir):
     )
     cols = ["purchase_id", "user_id", "click_id", "click_ts"]
     assert native[cols].equals(cogrouped[cols])
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """PageRank invariants: ranks sum to ~1 over all vertices, all
+    positive, deterministic ordering in the top-k output."""
+    from etl_xlsx_potgres_spark.plans.graph_iterative import pagerank
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), (-F.col("l_suppkey") - 1).alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=4).toPandas()
+    assert abs(ranks["rank"].sum() - 1.0) < 1e-6
+    assert (ranks["rank"] > 0).all()
+
+
+def test_file_format_roundtrip(spark, sf_dir, tmp_path):
+    from etl_xlsx_potgres_spark.sources.files import (
+        read_csv,
+        read_json,
+        write_sorted_parquet,
+    )
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    schema = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+
+    csv_path = str(tmp_path / "c.csv")
+    c.write.option("header", "true").csv(csv_path)
+    assert read_csv(spark, csv_path, schema).count() == c.count()
+
+    json_path = str(tmp_path / "c.json")
+    c.write.json(json_path)
+    assert read_json(spark, json_path, schema).count() == c.count()
+
+    pq_path = str(tmp_path / "c_sorted")
+    write_sorted_parquet(c, pq_path, ["c_custkey"], target_partitions=4)
+    back = spark.read.parquet(pq_path)
+    assert back.count() == c.count()
+    import glob
+
+    n_files = len(glob.glob(f"{pq_path}/part-*"))
+    assert n_files <= 4

@@ -150,3 +150,16 @@ def test_excel_source_gated(spark, tmp_path):
     except ImportError:
         with pytest.raises(NotImplementedError):
             excel.sheet_names(str(p))
+
+
+def test_observation_metrics(spark, workbook_clone):
+    from etl_xlsx_potgres_spark.pipelines.etl_xlsx_postgres import (
+        transform_with_observation,
+    )
+
+    cleaned, obs = transform_with_observation(workbook_clone)
+    n = cleaned.count()  # single action computes result AND metrics
+    m = obs.get
+    assert m["rows_in"] == 1200 and n == 1198
+    assert m["null_planos"] == 6  # i % 200 == 3 seeds
+    assert abs(m["approx_keys_in"] - 1198) / 1198 < 0.05
