@@ -34,16 +34,28 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst")))
         .distinct()
+        .coalesce(8)
         .cache()
     )
     n = vertices.count()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # size the cached edge partitioning to the data, not to the shuffle
+    # width of whatever produced it (a union of two 200-partition
+    # shuffles yields 400 near-empty partitions whose per-iteration
+    # task-scheduling overhead dwarfs the compute)
+    edges = edges.repartition(8).cache()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(8).cache()
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
+        # the rank/degree vectors are |V| rows — broadcast them into
+        # the edge scan so each iteration shuffles only the per-dst
+        # partial sums, never the edge list
         contribs = (
-            edges.join(ranks, edges.src == ranks.vertex)
-            .join(out_deg, "src")
+            edges.join(F.broadcast(ranks), edges.src == ranks.vertex)
+            .join(F.broadcast(out_deg), "src")
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
+            # pre-partition at the width the tiny rank vector needs; the
+            # groupBy reuses it instead of the session-wide shuffle width
+            .repartition(8, "vertex")
             .groupBy("vertex")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -55,6 +67,10 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
                     "rank"
                 ),
             )
+            # coalesce: the rank vector is |V| rows; checkpointing it at
+            # the session's full shuffle width (e.g. 200 partitions)
+            # costs far more than the compute
+            .coalesce(8)
             # truncate lineage: keeps iteration k's plan O(1), not O(2^k)
             .localCheckpoint(eager=True)
         )
