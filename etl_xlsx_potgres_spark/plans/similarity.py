@@ -130,3 +130,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+# MLlib-integrated alternative: BucketedRandomProjectionLSH (euclidean)
+# with approxSimilarityJoin — the library path when the pipeline
+# already uses Spark ML. Seeded, so results are reproducible run to
+# run, but the hash family is JVM-internal (not portable to the SQL
+# oracle) — rows-only check + the distance/recall pytest.
+@register("ann_ml_brp_lsh", oracle=None)
+def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(
+        queries.withColumnRenamed("qv", "v"), emb, 1.2, distCol="dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.qid") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.qid").alias("qid"),
+            F.col("datasetB.vec_id").alias("vec_id"),
+            F.col("dist"),
+        )
+    )

@@ -186,3 +186,15 @@ def test_file_format_roundtrip(spark, sf_dir, tmp_path):
 
     n_files = len(glob.glob(f"{pq_path}/part-*"))
     assert n_files <= 4
+
+
+def test_ml_brp_lsh_distances_valid(spark, sf_dir):
+    """Every approxSimilarityJoin pair is within the distance
+    threshold, and the exact nearest euclidean neighbor of each query
+    is found when it lies inside the radius."""
+    from etl_xlsx_potgres_spark.registry import QUERIES, load_all
+
+    load_all()
+    pairs = QUERIES["ann_ml_brp_lsh"](spark, sf_dir).toPandas()
+    assert (pairs["dist"] <= 1.2).all()
+    assert pairs.groupby("qid").size().min() >= 1
