@@ -108,3 +108,43 @@ def test_stateful_profile_across_batches(spark, stream_dir):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_foreach_batch_exactly_once(spark, stream_dir, tmp_path):
+    """Replaying a micro-batch through the idempotent writer must not
+    duplicate rows: per-batch-id partition overwrite."""
+    from etl_xlsx_potgres_spark.streaming.foreach_batch import (
+        idempotent_parquet_writer,
+    )
+
+    os.makedirs(stream_dir, exist_ok=True)
+    out = str(tmp_path / "sink")
+    writer = idempotent_parquet_writer(out)
+
+    _write_batch(spark, stream_dir, [(1, _ts(1), 1, 1.0), (2, _ts(2), 2, 2.0)])
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
+    )
+    q = events.writeStream.foreachBatch(writer).start()
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(out)
+        assert first.count() == 2
+
+        # simulate an at-least-once replay of batch 0
+        replay = spark.createDataFrame(
+            pd.DataFrame(
+                [(1, _ts(1), 1, 1.0), (2, _ts(2), 2, 2.0)],
+                columns=["event_id", "ts", "user_id", "value"],
+            ),
+            schema=EVENTS_SCHEMA,
+        )
+        writer(replay, 0)
+        assert spark.read.parquet(out).count() == 2, "replay must not duplicate"
+
+        # a new batch lands in its own partition
+        _write_batch(spark, stream_dir, [(3, _ts(3), 1, 3.0)])
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == 3
+    finally:
+        q.stop()
