@@ -279,10 +279,15 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.9)
     )
 
-
-# Edit-distance near-dup: Levenshtein over blocked candidate pairs
-# (same nation = the blocking key standing in for an LSH bucket; a
-# global all-pairs Levenshtein is never the plan at scale).
+# Edit-distance near-dup: Levenshtein over blocked candidate pairs,
+# cohort-scoped. Blocking notes for real corpora: pigeonhole segment
+# blocking (split keys into k+1 segments; any dist<=k pair shares one
+# exactly) is the scalable candidate generator — but it degenerates on
+# THIS synthetic data, where names are sequential zero-padded ids: the
+# variable region is a handful of trailing digits, so segment blocks
+# are huge AND the true dist<=2 pair set itself grows quadratically
+# (consecutive ids are near-dups by construction). The demo therefore
+# bounds the cohort and blocks on nation.
 @register(
     "dedup_levenshtein_pairs",
     oracle="""
@@ -290,20 +295,17 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            levenshtein(a.c_name, b.c_name) AS dist
     FROM customer a JOIN customer b
       ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    WHERE a.c_custkey < 2000 AND b.c_custkey < 2000
+      AND levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000)
     a = c.select(
-        F.col("c_custkey").alias("k1"),
-        F.col("c_name").alias("n1"),
-        "c_nationkey",
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("n1"), "c_nationkey"
     )
     b = c.select(
-        F.col("c_custkey").alias("k2"),
-        F.col("c_name").alias("n2"),
-        "c_nationkey",
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("n2"), "c_nationkey"
     )
     dist = F.levenshtein("n1", "n2")
     return (
