@@ -2,6 +2,7 @@
 pair into ``etl_xlsx_potgres_spark.registry``."""
 
 from . import (  # noqa: F401
+    analytics,
     chunking,
     dedup_fuzzy,
     functions_pack,

@@ -107,3 +107,13 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: drops repeats of ``keys`` across
+    micro-batches. State holds one entry per key seen within the
+    watermark horizon — ``dropDuplicatesWithinWatermark`` lets Spark
+    expire state for keys older than the watermark, which is what
+    keeps a forever-running dedup's state bounded (a plain
+    dropDuplicates on a stream grows state without limit)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

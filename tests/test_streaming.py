@@ -148,3 +148,34 @@ def test_foreach_batch_exactly_once(spark, stream_dir, tmp_path):
         assert spark.read.parquet(out).count() == 3
     finally:
         q.stop()
+
+
+def test_streaming_dedup_across_batches(spark, stream_dir):
+    """A key replayed in a later micro-batch (within the watermark) is
+    dropped; distinct keys all pass."""
+    from etl_xlsx_potgres_spark.streaming.events_stream import dedup_stream
+
+    os.makedirs(stream_dir, exist_ok=True)
+    _write_batch(spark, stream_dir, [(1, _ts(1), 1, 1.0), (2, _ts(1, 5), 2, 2.0)])
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stream_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        dedup_stream(events, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # replay event_id=1 (duplicate) plus a fresh event in batch 2
+        _write_batch(spark, stream_dir, [(1, _ts(1), 1, 1.0), (3, _ts(1, 10), 3, 3.0)])
+        q.processAllAvailable()
+        ids = sorted(r.event_id for r in spark.table("dedup_sink").collect())
+        assert ids == [1, 2, 3], f"duplicate leaked or row lost: {ids}"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
