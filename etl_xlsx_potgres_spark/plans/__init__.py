@@ -17,6 +17,8 @@ from . import (  # noqa: F401
     text_analysis,
     timeseries,
     tpch_adapted,
+    tpch_more,
+    training_data,
     udaf_pandas,
     windows_aggs,
 )
