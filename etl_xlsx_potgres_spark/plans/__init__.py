@@ -4,6 +4,7 @@ pair into ``etl_xlsx_potgres_spark.registry``."""
 from . import (  # noqa: F401
     analytics,
     chunking,
+    curation,
     dedup_fuzzy,
     functions_pack,
     graph_iterative,

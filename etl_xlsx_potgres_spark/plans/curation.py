@@ -1,0 +1,126 @@
+"""End-to-end corpus curation pipeline — the flagship composition the
+training-data extensions exist for, as ONE lazily-planned DataFrame
+program: quality filter → exact dedup → near-dup removal → split
+assignment → per-split audit.
+
+Each stage reuses the already-verified building blocks (operators/
+text.py, dedup_fuzzy's jaccard join shape, training_data's hash
+split), so Catalyst fuses the whole pipeline into a single plan:
+the quality filter prunes before any shuffle, the fingerprint dedup
+is one hash shuffle, the jaccard stage only sees survivors, and the
+split assignment is a map-side expression. At 100 TB this is the
+plan you want — filters first, each shuffle on the minimal surviving
+set, no intermediate materialization (checkpoint between stages only
+if lineage gets deep).
+
+The reference's pipeline (clean → dedup → normalize → load,
+/root/reference/etl_process.py:194-224) is the same composition shape
+at 1200-row scale; this is its corpus-scale analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint, shingles_long, token_count
+from ..registry import register
+from ..sources import load_table
+from .dedup_fuzzy import _DUCK_SHINGLES, _DUCK_TOKENS, _NORM
+from .training_data import _SPLIT_SQL, _with_split
+
+_MIN_TOKENS = 20
+_JACCARD_HI = 0.8
+
+
+@register(
+    "curation_pipeline_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang, text, len({_DUCK_TOKENS}) AS n_toks
+      FROM documents
+      WHERE len({_DUCK_TOKENS}) >= {_MIN_TOKENS}
+    ),
+    exact AS (
+      SELECT doc_id, lang, text, n_toks
+      FROM (SELECT *, md5({_NORM}) AS fp FROM q)
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS s FROM exact
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    drops AS (
+      SELECT DISTINCT d2 FROM (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      JOIN sizes sa ON sa.doc_id = d1
+      JOIN sizes sb ON sb.doc_id = d2
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= {_JACCARD_HI}
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_toks, {_SPLIT_SQL} AS split
+      FROM exact WHERE doc_id NOT IN (SELECT d2 FROM drops)
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           SUM(n_toks) AS total_tokens, MIN(doc_id) AS min_doc
+    FROM kept
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    # Stage 1 — quality gate (map-side, prunes before any shuffle).
+    q = d.withColumn("n_toks", token_count("text")).filter(
+        F.col("n_toks") >= _MIN_TOKENS
+    )
+
+    # Stage 2 — exact dedup: min-doc_id survivor per content hash
+    # (one shuffle on the 128-bit fingerprint).
+    w = Window.partitionBy("fp")
+    exact = (
+        q.withColumn("fp", fingerprint("text"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("fp", "keep_id")
+    )
+
+    # Stage 3 — near-dup removal: 3-gram jaccard >= 0.8 pairs via the
+    # shingle equi-join (never all-pairs); drop the larger id of each
+    # pair. Shingle set cached: it feeds sizes + both join sides.
+    sh = shingles_long(exact, "text", 3).distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("d1"), "s")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    drops = (
+        pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= _JACCARD_HI
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(drops, "doc_id", "left_anti")
+
+    # Stage 4 — deterministic split + audit rollup.
+    return (
+        _with_split(kept)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split", "lang")
+    )

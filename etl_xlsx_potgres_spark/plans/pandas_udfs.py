@@ -93,7 +93,13 @@ def asof_join_cogrouped(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
 
 @register("join_asof_cogrouped", oracle=None)
 def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # Scoped to a deterministic 10% user cohort: the cogroup ships every
+    # group through a Python worker (~5ms/group — the applyInPandas cost
+    # model in udaf_pandas), and the full-corpus as-of join is already
+    # served by the all-JVM `join_asof_purchase_click`. This query
+    # exists to exercise the cogrouped merge_asof path, which the
+    # cohort does at 1/10th the bench cost.
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 3)
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

@@ -163,3 +163,100 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist"),
         )
     )
+
+
+# IVF (inverted-file) ANN — the third scale path alongside the two LSH
+# variants, and the only one that is fully oracle-checkable: the coarse
+# codebook is a deterministic hash-picked sample (not trained k-means),
+# cell assignment is argmax-cosine with a (cosine DESC, cid) tiebreak,
+# and per-row double arithmetic is engine-identical. Probing the
+# N_PROBE nearest cells turns the O(N·Q) scan into O(N·Q·nprobe/cells)
+# expected, re-ranked exactly within the probed cells — the same
+# partition-prune-then-rerank shape a 100 TB vector store needs (cells
+# become partition keys; the assign pass is one map-side broadcast
+# join; the search shuffles only candidates).
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_duck_cos("q.embedding", "c.cv")} DESC, c.cid) AS prn
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE prn <= {N_PROBE}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT p.qid, a.vec_id,
+             {_duck_cos("q.embedding", "a.embedding")} AS cosine,
+             row_number() OVER (PARTITION BY p.qid ORDER BY
+               {_duck_cos("q.embedding", "a.embedding")} DESC, a.vec_id) AS rn
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+      JOIN embeddings q ON q.vec_id = p.qid
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(N_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    cos_vc = _dot("embedding", "cv") / (_norm("embedding") * _norm("cv"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cos_vc)
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("ccos", _dot("qv", "cv") / (_norm("qv") * _norm("cv")))
+        .withColumn("prn", F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("ccos"), "cid")))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("qid", "qv", "cid")
+    )
+    cosine = _dot("qv", "embedding") / (_norm("qv") * _norm("embedding"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        probes.join(assign, "cid")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cosine", "rn")
+    )

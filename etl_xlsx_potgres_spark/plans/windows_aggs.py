@@ -313,3 +313,35 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50_price"),
         F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95_price"),
     )
+
+
+# NTILE decile bucketing — the window partitioner behind quantile
+# feature binning; total order (price, key) makes tile edges
+# deterministic across engines.
+@register(
+    "win_ntile_price_deciles",
+    oracle=f"""
+    SELECT decile, COUNT(*) AS n_orders,
+           {sql_msum("o_totalprice", "bucket_total")},
+           MIN(o_orderkey) AS min_key
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def win_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice", "bucket_total"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("decile")
+    )

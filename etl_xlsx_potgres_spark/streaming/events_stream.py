@@ -117,3 +117,35 @@ def dedup_stream(events: DataFrame, keys: list[str], watermark: str = "1 hour") 
     keeps a forever-running dedup's state bounded (a plain
     dropDuplicates on a stream grows state without limit)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to same-user
+    clicks at most ``max_delay`` before it.
+
+    Both sides carry a watermark AND the join condition bounds event
+    time on both ends — that pair is what lets Spark garbage-collect
+    buffered rows (a stream-stream join without a time-range bound
+    must hold every past row forever, which no 100 TB/day stream
+    survives). State per side is O(watermark-window of rows), not
+    O(stream history).
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return p.join(c, cond).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+    )

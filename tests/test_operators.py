@@ -128,6 +128,10 @@ def test_cogrouped_asof_matches_window_asof(spark, sf_dir):
         .sort_values("purchase_id")
         .reset_index(drop=True)
     )
+    # the cogrouped query is scoped to the user_id % 10 == 3 cohort
+    native = (
+        native[native.user_id % 10 == 3].reset_index(drop=True)
+    )
     cogrouped = (
         QUERIES["join_asof_cogrouped"](spark, sf_dir)
         .toPandas()
@@ -135,6 +139,10 @@ def test_cogrouped_asof_matches_window_asof(spark, sf_dir):
         .reset_index(drop=True)
     )
     cols = ["purchase_id", "user_id", "click_id", "click_ts"]
+    # click_id dtype depends on whether the frame happens to contain
+    # nulls (int64 vs float64); compare values, not inferred dtypes
+    native["click_id"] = native["click_id"].astype("float64")
+    cogrouped["click_id"] = cogrouped["click_id"].astype("float64")
     assert native[cols].equals(cogrouped[cols])
 
 
@@ -198,3 +206,22 @@ def test_ml_brp_lsh_distances_valid(spark, sf_dir):
     pairs = QUERIES["ann_ml_brp_lsh"](spark, sf_dir).toPandas()
     assert (pairs["dist"] <= 1.2).all()
     assert pairs.groupby("qid").size().min() >= 1
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probes 4 of 16 cells (~25% of the corpus) and must keep
+    materially better top-5 recall than a single-bucket LSH probe:
+    probing the nearest cells concentrates the true neighbors."""
+    from etl_xlsx_potgres_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["ann_cosine_topk"](spark, sf_dir).toPandas()
+    approx = QUERIES["ann_ivf_topk"](spark, sf_dir).toPandas()
+    exact_sets = exact.groupby("qid")["vec_id"].apply(set)
+    approx_sets = approx.groupby("qid")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets.index
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"IVF recall collapsed: {mean_recall:.2f}"

@@ -179,3 +179,46 @@ def test_streaming_dedup_across_batches(spark, stream_dir):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with time-range condition: a purchase must
+    match clicks buffered from EARLIER microbatches (cross-batch
+    state), and clicks outside the interval must not match."""
+    from etl_xlsx_potgres_spark.streaming.events_stream import interval_join
+
+    p_dir, c_dir = str(tmp_path / "purchases"), str(tmp_path / "clicks")
+    os.makedirs(p_dir, exist_ok=True)
+    os.makedirs(c_dir, exist_ok=True)
+
+    # batch 1: clicks only — they must be buffered in join state
+    _write_batch(spark, c_dir, [(100, _ts(0, 10), 1, 1.0), (101, _ts(0, 5), 2, 1.0)])
+
+    purchases = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(p_dir)
+    )
+    clicks = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(c_dir)
+    joined = interval_join(purchases, clicks, max_delay="1 hour")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 buys 30 min after the click (match); user 2
+        # buys 3h after theirs (outside the 1h interval -> no match)
+        _write_batch(spark, p_dir, [(200, _ts(0, 40), 1, 9.0), (201, _ts(3, 0), 2, 9.0)])
+        q.processAllAvailable()
+        rows = {
+            (r.purchase_id, r.click_id)
+            for r in spark.table("ssj_sink").collect()
+        }
+        assert rows == {(200, 100)}, f"unexpected join result: {rows}"
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
