@@ -81,11 +81,15 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 2 — exact dedup: min-doc_id survivor per content hash
     # (one shuffle on the 128-bit fingerprint).
     w = Window.partitionBy("fp")
+    # cached: survivors feed both the shingle build and the final
+    # anti-join, and the tokenize+fingerprint scan is the most
+    # expensive map stage in the pipeline
     exact = (
         q.withColumn("fp", fingerprint("text"))
         .withColumn("keep_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("fp", "keep_id")
+        .cache()
     )
 
     # Stage 3 — near-dup removal: 3-gram jaccard >= 0.8 pairs via the
