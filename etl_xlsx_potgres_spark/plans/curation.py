@@ -64,7 +64,7 @@ _JACCARD_HI = 0.8
       FROM exact WHERE doc_id NOT IN (SELECT d2 FROM drops)
     )
     SELECT split, lang, COUNT(*) AS n_docs,
-           SUM(n_toks) AS total_tokens, MIN(doc_id) AS min_doc
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens, MIN(doc_id) AS min_doc
     FROM kept
     GROUP BY split, lang
     ORDER BY split, lang

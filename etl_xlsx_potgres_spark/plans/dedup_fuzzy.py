@@ -237,6 +237,13 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Embedding-cosine near-duplicate pairs, blocked by label (the stand-in
 # for an LSH/IVF bucket at scale), verified by exact cosine.
+# Threshold note: the synthetic embeddings are near-orthogonal (max
+# same-label cosine ~0.47 at sf0.01), so a classic 0.9 near-dup cut
+# returns an empty — hence vacuous — result. 0.4 keeps the same plan
+# shape while producing a small non-empty pair set at every test SF,
+# so the gate genuinely compares values. Both engines compute the
+# cosine with the identical sequential double fold (bit-exact), so
+# the threshold boundary is engine-stable.
 @register(
     "dedup_embedding_neardup",
     oracle="""
@@ -252,7 +259,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
-          >= 0.9
+          >= 0.4
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +283,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.4)
     )
 
 # Edit-distance near-dup: Levenshtein over blocked candidate pairs,

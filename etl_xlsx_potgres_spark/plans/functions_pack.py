@@ -128,7 +128,7 @@ def fn_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            abs(c_acctbal) AS abs_bal,
-           sign(c_acctbal) AS sgn,
+           CAST(sign(c_acctbal) AS DOUBLE) AS sgn,
            round(c_acctbal, 0) AS rounded,
            floor(c_acctbal) AS flr,
            ceil(c_acctbal) AS cl,

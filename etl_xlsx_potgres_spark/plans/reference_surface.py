@@ -184,8 +184,10 @@ def ref_dedup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS total,
            COUNT(DISTINCT l_orderkey) AS chaves_distintas,
-           SUM(CASE WHEN l_discount <= 0.06 THEN 1 ELSE 0 END) AS validos,
-           SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS quarentena
+           CAST(SUM(CASE WHEN l_discount <= 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+             AS validos,
+           CAST(SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
+             AS quarentena
     FROM lineitem
     """,
 )

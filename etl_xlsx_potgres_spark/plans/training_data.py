@@ -53,7 +53,8 @@ def _with_split(d: DataFrame) -> DataFrame:
 @register(
     "split_train_val_test",
     oracle=f"""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM (SELECT doc_id, n_chars, {_SPLIT_SQL} AS split FROM documents)
     GROUP BY split
@@ -86,7 +87,8 @@ _RATE_SQL = " ".join(
 @register(
     "sample_stratified_by_lang",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars,
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
            MIN(doc_id) AS min_doc
     FROM documents
     WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
@@ -203,7 +205,8 @@ def contamination_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pii_mask_event_props",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           SUM(len(regexp_extract_all(props, '[0-9]+'))) AS total_masked,
+           CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT)
+             AS total_masked,
            MIN(regexp_replace(props, '[0-9]+', '[NUM]', 'g')) AS sample_masked_min,
            MAX(regexp_replace(props, '[0-9]+', '[NUM]', 'g')) AS sample_masked_max
     FROM events
