@@ -166,12 +166,20 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every synthetic customer has >=1 order, so the unfiltered anti
+    # join is empty (a vacuous pass); anti-joining against the URGENT
+    # subset keeps the same plan shape (filter pushed below the join's
+    # build side) with a non-empty result at every SF
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -169,8 +169,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
-           SUM(len({_DUCK_TOKENS})) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents
     GROUP BY lang ORDER BY lang

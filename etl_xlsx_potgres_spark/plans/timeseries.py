@@ -72,8 +72,9 @@ def ts_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id,
@@ -112,8 +113,10 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            {sql_msum("CASE WHEN event_type = 'purchase' THEN value END", "purchase_value")},
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errors,
            COUNT(DISTINCT user_id) AS active_users
     FROM events GROUP BY 1
     """,
