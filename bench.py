@@ -105,19 +105,41 @@ def main() -> None:
     times["reference_pipeline_1200rows"] = ref_equiv
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-                "warmup_sec": round(warm, 3),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "warmup_sec": round(warm, 3),
+    }
+
+    # Full per-query detail always lands next to this script; the
+    # printed line must survive a 2000-char stdout tail capture (the
+    # round-1 line was ~5 KB and got head-truncated into unparseable
+    # JSON), so trim the inline map to the slowest queries as needed.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1700:
+        payload["queries_note"] = "slowest subset; full map in BENCH_FULL.json"
+        by_cost = sorted(times, key=times.get, reverse=True)
+        keep = len(by_cost)
+        while keep > 1:
+            subset = dict.fromkeys(by_cost[:keep])
+            subset = {n: times[n] for n in subset}
+            subset["reference_pipeline_1200rows"] = times[
+                "reference_pipeline_1200rows"
+            ]
+            payload["queries"] = subset
+            line = json.dumps(payload, separators=(",", ":"))
+            if len(line) <= 1700:
+                break
+            keep -= max(1, keep // 10)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

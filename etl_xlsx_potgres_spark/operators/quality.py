@@ -21,11 +21,15 @@ def error_column(rules: list[tuple[str, Column]]) -> Column:
     """First-failing-rule error reason; NULL when every rule passes.
 
     ``rules``: ordered ``(message, ok_condition)`` — mirrors the
-    reference's first-exception-wins semantics.
+    reference's first-exception-wins semantics. Conditions evaluate
+    under SQL three-valued logic, and a rule counts as FAILED unless
+    it is strictly TRUE: a NULL-infected condition (e.g. ``col > 0``
+    on a NULL value) quarantines the row, matching the reference's
+    per-row exception isolation (a None there raised and rejected).
     """
     expr = F.lit(None).cast("string")
     for msg, ok in reversed(rules):
-        expr = F.when(~ok, F.lit(msg)).otherwise(expr)
+        expr = F.when(ok.isNull() | ~ok, F.lit(msg)).otherwise(expr)
     return expr
 
 

@@ -357,8 +357,9 @@ def ref_upsert_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, erro FROM (
       SELECT l_orderkey, l_linenumber,
-             CASE WHEN NOT (l_quantity > 0) THEN 'quantidade inválida'
-                  WHEN NOT (l_discount <= 0.06) THEN 'desconto fora do intervalo'
+             CASE WHEN (l_quantity > 0) IS NOT TRUE THEN 'quantidade inválida'
+                  WHEN (l_discount <= 0.06) IS NOT TRUE
+                    THEN 'desconto fora do intervalo'
                   WHEN l_shipdate IS NULL THEN 'data de envio ausente'
              END AS erro
       FROM lineitem
