@@ -8,6 +8,7 @@ from .clean import (
     with_defaults,
 )
 from .dedup import dedup_arbitrary, dedup_deterministic
+from .edit_distance import levenshtein_pairs_blocked
 from .joins import fk_lookup, new_rows
 from .quality import validate_split
 from .reshape import extract_dimension, unpivot
@@ -22,6 +23,7 @@ __all__ = [
     "with_defaults",
     "dedup_arbitrary",
     "dedup_deterministic",
+    "levenshtein_pairs_blocked",
     "fk_lookup",
     "new_rows",
     "validate_split",

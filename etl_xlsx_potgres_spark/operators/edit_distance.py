@@ -1,0 +1,135 @@
+"""Edit-distance (Levenshtein <= k) pair generation via pigeonhole
+segment blocking — the scalable candidate generator for fuzzy dedup.
+
+Principle (PassJoin family, Li/Deng/Feng VLDB'11 — public literature):
+partition each string into ``k+1`` contiguous segments. Any partner
+within edit distance ``k`` can edit at most ``k`` of those segments,
+so at least one segment survives verbatim — and, because each edit
+shifts later characters by at most one position, that surviving
+segment appears in the partner at a start position displaced by at
+most ``k``. Candidates are therefore exactly the pairs that share a
+``(target_length, segment_index, segment_text)`` key, where the probe
+side enumerates the partner's substrings inside the +-k displacement
+window; every candidate is then verified with an exact
+``levenshtein`` computation, so the result is precise, not
+approximate.
+
+Scale shape: the only wide operations are equi-joins/distinct on
+``(L, i, segment)`` keys. Segment/probe *specs* are derived from the
+set of distinct string lengths (tiny — broadcast), so the big table
+is touched map-side twice and shuffled on short segment keys, never
+all-pairs. Probe fan-out per row is bounded by
+``(k+1) * (2k+1)^2`` — constant in corpus size.
+
+Degenerate-data note: on near-identical corpora (e.g. this repo's
+synthetic sequential ``Customer#00000NNN`` names) every string shares
+the same leading segments, so one block holds the whole cohort and
+candidate generation approaches all-pairs — that is a property of the
+data (the true dist<=k pair set itself is quadratic there), not of
+the algorithm; on natural text the blocks are small. The registered
+query bounds its cohort for this reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segment_spec(lengths: DataFrame, k: int) -> DataFrame:
+    """(L, i, start, slen) for each distinct length L: the even
+    partition of L characters into k+1 segments (first ``L % (k+1)``
+    segments take the extra character). Zero-length segments are kept:
+    for strings shorter than k+1 they are the pigeonhole slots that
+    may be the only unedited ones."""
+    spec = lengths.select(
+        "L", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i")
+    )
+    base = F.expr(f"L div {k + 1}")
+    rem = F.col("L") % (k + 1)
+    return spec.select(
+        "L",
+        "i",
+        (F.col("i") * base + F.least(F.col("i"), rem)).alias("start"),
+        (base + F.when(F.col("i") < rem, 1).otherwise(0)).alias("slen"),
+    )
+
+
+def levenshtein_pairs_blocked(
+    df: DataFrame, id_col: str, str_col: str, k: int
+) -> DataFrame:
+    """All pairs (d1 < d2, dist) with ``levenshtein <= k`` — exact.
+
+    Index side emits each string's own segments; probe side emits, for
+    every partner length within +-k, the substrings aligned to that
+    length's segments under the +-k displacement window. Shared keys
+    become candidates; an exact levenshtein filter finishes the job.
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("s"),
+        F.length(str_col).alias("L"),
+    )
+    lengths = s.select("L").distinct()
+    spec = _segment_spec(lengths, k)
+
+    idx = s.join(F.broadcast(spec), "L").select(
+        "id", "s", "L", "i", F.expr("substring(s, start + 1, slen)").alias("seg")
+    )
+
+    # probe spec: for own length Lr, target partner lengths |L-Lr|<=k,
+    # candidate start positions p in [start-k, start+k] clipped to the
+    # probe string; sequence() descends when lo>hi, so guard first
+    tgt = spec.select(
+        F.col("L").alias("tL"), "i", "start", "slen"
+    )
+    pspec = (
+        lengths.select(F.col("L").alias("Lr"))
+        .join(tgt, F.abs(F.col("tL") - F.col("Lr")) <= k)
+        .withColumn("lo", F.greatest(F.lit(0), F.col("start") - k))
+        .withColumn("hi", F.least(F.col("Lr") - F.col("slen"), F.col("start") + k))
+        .filter(F.col("hi") >= F.col("lo"))
+        .withColumn("p", F.explode(F.sequence("lo", "hi")))
+        .select("Lr", "tL", "i", "p", "slen")
+    )
+    probe = (
+        s.withColumnRenamed("L", "Lr")
+        .join(F.broadcast(pspec), "Lr")
+        .select(
+            "id",
+            "s",
+            F.col("tL").alias("L"),
+            "i",
+            F.expr("substring(s, p + 1, slen)").alias("seg"),
+        )
+        .distinct()
+    )
+
+    # carry the strings through the block join: short payloads beat
+    # two extra join-backs for verification
+    a = idx.select(
+        F.col("id").alias("ia"), F.col("s").alias("sa"), "L", "i", "seg"
+    )
+    b = probe.select(
+        F.col("id").alias("ib"), F.col("s").alias("sb"), "L", "i", "seg"
+    )
+    cand = (
+        a.join(b, ["L", "i", "seg"])
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("d1"),
+            F.greatest("ia", "ib").alias("d2"),
+            F.when(F.col("ia") < F.col("ib"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("s1"),
+            F.when(F.col("ia") < F.col("ib"), F.col("sb"))
+            .otherwise(F.col("sa"))
+            .alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s1", "s2"))
+        .filter(F.col("dist") <= k)
+        .select("d1", "d2", "dist")
+    )

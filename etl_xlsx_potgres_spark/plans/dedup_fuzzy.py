@@ -321,3 +321,27 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k1", "k2", dist.alias("dist"))
         .filter(F.col("dist") <= 2)
     )
+
+
+# General-path edit-distance dedup: pigeonhole segment blocking
+# (operators/edit_distance.py) verified differentially against a
+# brute-force all-pairs oracle on a bounded cohort. The operator never
+# enumerates all pairs itself — candidates come from shared
+# (length, segment_index, segment_text) keys — but on THIS synthetic
+# corpus (sequential near-identical names) the true pair set is itself
+# quadratic in the cohort, hence the c_custkey bound.
+@register(
+    "dedup_levenshtein_pigeonhole",
+    oracle="""
+    SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 600 AND b.c_custkey < 600
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_levenshtein_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.edit_distance import levenshtein_pairs_blocked
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+    return levenshtein_pairs_blocked(c, "c_custkey", "c_name", 2)
