@@ -10,8 +10,24 @@ the quality filter prunes before any shuffle, the fingerprint dedup
 is one hash shuffle, the jaccard stage only sees survivors, and the
 split assignment is a map-side expression. At 100 TB this is the
 plan you want — filters first, each shuffle on the minimal surviving
-set, no intermediate materialization (checkpoint between stages only
-if lineage gets deep).
+set, no intermediate materialization beyond the explicit policy
+below.
+
+Materialization policy: two intermediates (the exact-dedup survivor
+set and its distinct shingle set) each feed multiple consumers, so
+recomputing them repeats the most expensive map work. ``materialize``
+makes the 100 TB posture explicit code, not a docstring:
+
+- ``"cache"`` (default, right for SF-scale tests and memory-rich
+  clusters): executor block-manager storage, cheapest when it fits.
+- ``"checkpoint"``: truncate lineage and persist partition files via
+  ``localCheckpoint`` — the posture for 100 TB runs, where a cached
+  corpus would evict under memory pressure and a lineage re-compute
+  of a multi-stage dedup is catastrophic. (On a real cluster, a
+  reliable ``checkpoint()`` with an HDFS/S3 dir replaces
+  ``localCheckpoint``; local mode has no such dir.)
+- ``"none"``: pure lazy plan — lets Catalyst see the whole program;
+  correct but recomputes shared stages.
 
 The reference's pipeline (clean → dedup → normalize → load,
 /root/reference/etl_process.py:194-224) is the same composition shape
@@ -31,6 +47,84 @@ from .training_data import _SPLIT_SQL, _with_split
 
 _MIN_TOKENS = 20
 _JACCARD_HI = 0.8
+
+MATERIALIZE_MODES = ("cache", "checkpoint", "none")
+
+
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    if mode == "cache":
+        return df.cache()
+    if mode == "checkpoint":
+        # lazy: materializes on first use, then cuts lineage
+        return df.localCheckpoint(eager=False)
+    if mode == "none":
+        return df
+    raise ValueError(f"materialize must be one of {MATERIALIZE_MODES}: {mode!r}")
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, materialize: str = "cache"
+) -> DataFrame:
+    """Survivor documents (doc_id, lang, text, n_toks) after quality
+    gate → exact dedup → jaccard near-dup removal."""
+    d = load_table(spark, sf_dir, "documents")
+
+    # Stage 1 — quality gate (map-side, prunes before any shuffle).
+    q = d.withColumn("n_toks", token_count("text")).filter(
+        F.col("n_toks") >= _MIN_TOKENS
+    )
+
+    # Stage 2 — exact dedup: min-doc_id survivor per content hash
+    # (one shuffle on the 128-bit fingerprint). Materialized: survivors
+    # feed both the shingle build and the final anti-join, and the
+    # tokenize+fingerprint scan is the most expensive map stage.
+    w = Window.partitionBy("fp")
+    exact = _materialize(
+        q.withColumn("fp", fingerprint("text"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("fp", "keep_id"),
+        materialize,
+    )
+
+    # Stage 3 — near-dup removal: 3-gram jaccard >= 0.8 pairs via the
+    # shingle equi-join (never all-pairs); drop the larger id of each
+    # pair. Shingle set materialized: it feeds sizes + both join sides.
+    sh = _materialize(shingles_long(exact, "text", 3).distinct(), materialize)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.select(F.col("doc_id").alias("d1"), "s")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    drops = (
+        pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= _JACCARD_HI
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    return exact.join(drops, "doc_id", "left_anti")
+
+
+def curation_stats(kept: DataFrame) -> DataFrame:
+    """Stage 4 — deterministic split + per-(split, lang) audit rollup."""
+    return (
+        _with_split(kept)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split", "lang")
+    )
 
 
 @register(
@@ -71,60 +165,4 @@ _JACCARD_HI = 0.8
     """,
 )
 def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-
-    # Stage 1 — quality gate (map-side, prunes before any shuffle).
-    q = d.withColumn("n_toks", token_count("text")).filter(
-        F.col("n_toks") >= _MIN_TOKENS
-    )
-
-    # Stage 2 — exact dedup: min-doc_id survivor per content hash
-    # (one shuffle on the 128-bit fingerprint).
-    w = Window.partitionBy("fp")
-    # cached: survivors feed both the shingle build and the final
-    # anti-join, and the tokenize+fingerprint scan is the most
-    # expensive map stage in the pipeline
-    exact = (
-        q.withColumn("fp", fingerprint("text"))
-        .withColumn("keep_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .drop("fp", "keep_id")
-        .cache()
-    )
-
-    # Stage 3 — near-dup removal: 3-gram jaccard >= 0.8 pairs via the
-    # shingle equi-join (never all-pairs); drop the larger id of each
-    # pair. Shingle set cached: it feeds sizes + both join sides.
-    sh = shingles_long(exact, "text", 3).distinct().cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        sh.select(F.col("doc_id").alias("d1"), "s")
-        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    drops = (
-        pairs.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
-        .filter(
-            F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter"))
-            >= _JACCARD_HI
-        )
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-    )
-    kept = exact.join(drops, "doc_id", "left_anti")
-
-    # Stage 4 — deterministic split + audit rollup.
-    return (
-        _with_split(kept)
-        .groupBy("split", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_toks").alias("total_tokens"),
-            F.min("doc_id").alias("min_doc"),
-        )
-        .orderBy("split", "lang")
-    )
+    return curation_stats(curate_corpus(spark, sf_dir, materialize="cache"))

@@ -70,8 +70,19 @@ def continuous_aggregate_writer(path: str, bucket: str = "1 day"):
                 ),
             )
         )
+        # only a missing store means "first batch"; any other failure
+        # (transient IO, corrupt file) must propagate so the streaming
+        # engine retries the batch — swallowing it would overwrite the
+        # touched buckets with batch-only partials and lose history
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            merged = partial
+        else:
             touched = [r["bucket"] for r in partial.select("bucket").distinct().collect()]
             relevant = existing.filter(F.col("bucket").isin(touched))
             merged = (
@@ -79,8 +90,6 @@ def continuous_aggregate_writer(path: str, bucket: str = "1 day"):
                 .groupBy("bucket", "event_type")
                 .agg(F.sum("n").alias("n"), F.sum("fsum").alias("fsum"))
             )
-        except Exception:  # first batch: nothing to merge yet
-            merged = partial
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

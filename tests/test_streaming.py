@@ -222,3 +222,54 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _typed_frame(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+    return spark.createDataFrame(
+        pdf, schema="ts timestamp, event_type string, value double"
+    )
+
+
+def test_continuous_aggregate_accumulates_across_batches(spark, tmp_path):
+    """The rollup store must accumulate partials across micro-batches,
+    touching only the buckets each batch covers."""
+    from etl_xlsx_potgres_spark.streaming.foreach_batch import (
+        continuous_aggregate_writer,
+    )
+
+    out = str(tmp_path / "rollup")
+    writer = continuous_aggregate_writer(out, bucket="1 day")
+    d1, d2 = datetime.datetime(2024, 1, 1, 3), datetime.datetime(2024, 1, 2, 4)
+
+    writer(_typed_frame(spark, [(d1, "click", 1.0), (d1, "click", 2.0), (d1, "purchase", 10.0)]), 0)
+    writer(_typed_frame(spark, [(d1, "click", 0.5), (d2, "click", 4.0)]), 1)
+    writer(_typed_frame(spark, [(d2, "purchase", 7.0)]), 2)
+
+    store = spark.read.parquet(out).toPandas()
+    got = {
+        (str(r["bucket"])[:10], r["event_type"]): (int(r["n"]), float(r["fsum"]) / 10000)
+        for _, r in store.iterrows()
+    }
+    assert got[("2024-01-01", "click")] == (3, 3.5)
+    assert got[("2024-01-01", "purchase")] == (1, 10.0)
+    assert got[("2024-01-02", "click")] == (1, 4.0)
+    assert got[("2024-01-02", "purchase")] == (1, 7.0)
+
+
+def test_continuous_aggregate_read_error_propagates(spark, tmp_path):
+    """A corrupt/unreadable store must fail the batch (so streaming
+    retries), NOT be treated as 'first batch' and overwritten."""
+    from etl_xlsx_potgres_spark.streaming.foreach_batch import (
+        continuous_aggregate_writer,
+    )
+
+    out = tmp_path / "corrupt"
+    out.mkdir()
+    (out / "part-00000.parquet").write_bytes(b"this is not parquet")
+    writer = continuous_aggregate_writer(str(out))
+    d1 = datetime.datetime(2024, 1, 1, 3)
+    with pytest.raises(Exception):
+        writer(_typed_frame(spark, [(d1, "click", 1.0)]), 0)
+    # the garbage store was not clobbered by a batch-only overwrite
+    assert (out / "part-00000.parquet").read_bytes() == b"this is not parquet"
