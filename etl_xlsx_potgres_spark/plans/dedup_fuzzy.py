@@ -345,3 +345,92 @@ def dedup_levenshtein_pigeonhole(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
     return levenshtein_pairs_blocked(c, "c_custkey", "c_name", 2)
+
+
+# Embedding near-dup, LSH-bucketed — the real scale path that the
+# label-blocked variant above stands in for. Band keys come from the
+# portable sign-plane signature (similarity.sign_plane_signature):
+# 16 bits in 4 bands of 4; any pair sharing a band is a candidate
+# (shuffle carries only (band_id, 4-bit key)), then candidates are
+# verified with the exact cosine. Both the planes and the cosine are
+# bit-identical across engines, so the whole pipeline — bucketing
+# included — is oracle-checked, not just the verify step.
+# Threshold 0.35: this synthetic corpus is near-orthogonal (max cos
+# ~0.5), so a production 0.9 cut would pass vacuously; 0.35 keeps a
+# small non-empty result at every test SF.
+_EMB_LSH_THRESHOLD = 0.35
+
+_DUCK_COS_AB = (
+    "list_sum(list_transform(list_zip(ea, eb),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))"
+)
+
+
+def _emb_lsh_oracle() -> str:
+    from .similarity import sql_sign_plane_signature
+
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {sql_sign_plane_signature("embedding")} AS sig
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, embedding, b, substring(sig, b * 4 + 1, 4) AS bk
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id
+    )
+    SELECT v1, v2, cosine FROM (
+      SELECT v1, v2, {_DUCK_COS_AB} AS cosine FROM cand
+    ) WHERE cosine >= {_EMB_LSH_THRESHOLD}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import sign_plane_signature
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "sig", sign_plane_signature(F.col("embedding"))
+    )
+    bands = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[F.substring("sig", b * 4 + 1, 4) for b in range(4)])
+        ).alias("b", "bk"),
+    )
+    a = bands.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"), "b", "bk"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"), "b", "bk"
+    )
+    cand = (
+        a.join(b, ["b", "bk"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "ea", "eb")
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    cosine = dot / (norm("ea") * norm("eb"))
+    return (
+        cand.select("v1", "v2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _EMB_LSH_THRESHOLD)
+    )

@@ -260,3 +260,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+# Portable sign-plane family for cross-engine LSH: coefficient s(p,d)
+# is +-1 decided by one md5 hex digit, and projections are sequential
+# double folds — both bit-identical in Spark and DuckDB, so an LSH
+# *dedup* built on these planes is exactly oracle-checkable (unlike
+# the conv()-based family above, which has no DuckDB twin).
+HP_BITS = 16
+HP_BAND_BITS = 4  # 4 bands x 4 bits
+
+
+def _sign_plane_bit(vec_col, p: int):
+    def term(x, i):
+        sign = F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"hp{p}_"), i.cast("string"))), 1, 1
+            )
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        return x.cast("double") * sign
+
+    proj = F.aggregate(
+        F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), term),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def sign_plane_signature(vec_col) -> F.Column:
+    """HP_BITS-char '0'/'1' signature string of a vector column."""
+    return F.concat(*[_sign_plane_bit(vec_col, p) for p in range(HP_BITS)])
+
+
+def sql_sign_plane_signature(vec: str) -> str:
+    """DuckDB twin of :func:`sign_plane_signature` (same md5 planes,
+    same left-to-right fold)."""
+    bits = []
+    for p in range(HP_BITS):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vec})), i ->"
+            f" (CASE WHEN substring(md5('hp{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)"
+            f" < '8' THEN 1.0 ELSE -1.0 END) * CAST({vec}[i] AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
