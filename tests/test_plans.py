@@ -121,3 +121,22 @@ def test_ivf_broadcasts_codebook(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_ivf_topk")
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange rangepartitioning" not in plan.split("BroadcastNestedLoopJoin")[0] or True
+
+
+def test_pigeonhole_specs_broadcast_no_cartesian(spark, sf_dir):
+    """Edit-distance blocking: both segment/probe specs (derived from
+    the tiny distinct-length set) must broadcast, candidates must come
+    from a hash join on (L, i, seg) — never a cartesian of the corpus."""
+    plan = _plan(spark, sf_dir, "dedup_levenshtein_pigeonhole")
+    assert plan.count("BroadcastHashJoin") >= 2  # spec joins
+    assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_joins_on_band_keys(spark, sf_dir):
+    """LSH near-dup candidates come from an equi-join on the
+    (band_id, band_key) pair — no cross join of vectors."""
+    plan = _plan(spark, sf_dir, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bk" in plan  # band key is a join/partition key in the plan
