@@ -91,7 +91,23 @@ def asof_join_cogrouped(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     )
 
 
-@register("join_asof_cogrouped", oracle=None)
+@register(
+    "join_asof_cogrouped",
+    # DuckDB's native ASOF LEFT JOIN is the exact relational twin of
+    # merge_asof(direction="backward"): most recent click at-or-before
+    # each purchase, NULLs when none. (No (user_id, ts) click ties in
+    # the corpus, so "most recent" is unambiguous on both engines.)
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           c.click_id, c.click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE user_id % 10 = 3 AND event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+          WHERE user_id % 10 = 3 AND event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
 def join_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scoped to a deterministic 10% user cohort: the cogroup ships every
     # group through a Python worker (~5ms/group — the applyInPandas cost

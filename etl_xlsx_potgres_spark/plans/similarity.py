@@ -4,10 +4,15 @@
   and the recall oracle). At 100 TB this is the per-bucket inner loop,
   not the global strategy.
 - ``ann_lsh_topk``: random-hyperplane LSH bucketing — the scale path.
-  Probes only the query's bucket (plus the exact re-rank within it);
-  the hyperplanes are md5-derived so the bucketing is deterministic
-  and reproducible across engines/runs. Rows-only check + a recall
-  pytest against the brute-force baseline.
+  Probes only the query's bucket (plus the exact re-rank within it).
+  The hyperplanes are the portable +-1 sign-plane family (one md5 hex
+  digit decides each coefficient; projections are sequential double
+  folds), bit-identical in Spark and DuckDB — so the bucketing itself
+  is oracle-checked, not just rows-counted.
+- ``ann_ml_brp_lsh``: MLlib BucketedRandomProjectionLSH — the library
+  path; hash family is JVM-internal, rows-only check + recall pytest.
+- ``ann_ivf_topk``: inverted-file ANN with a hash-picked codebook —
+  broadcast assign, partition-prune-then-rerank, fully oracle-checked.
 """
 
 from __future__ import annotations
@@ -36,22 +41,70 @@ def _norm(a):
     )
 
 
+def _duck_cos(a: str, b: str) -> str:
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# Portable sign-plane family for cross-engine LSH: coefficient s(p,d)
+# is +-1 decided by one md5 hex digit, and projections are sequential
+# double folds — both bit-identical in Spark and DuckDB, so LSH
+# bucketing built on these planes is exactly oracle-checkable.
+HP_BITS = 16
+HP_BAND_BITS = 4  # 4 bands x 4 bits
+
+
+def _sign_plane_bit(vec_col, p: int):
+    def term(x, i):
+        sign = F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"hp{p}_"), i.cast("string"))), 1, 1
+            )
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        return x.cast("double") * sign
+
+    proj = F.aggregate(
+        F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), term),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def sign_plane_signature(vec_col, bits: int = HP_BITS):
+    """'0'/'1' signature string of a vector column (``bits`` planes)."""
+    return F.concat(*[_sign_plane_bit(vec_col, p) for p in range(bits)])
+
+
+def sql_sign_plane_signature(vec: str, bits: int = HP_BITS) -> str:
+    """DuckDB twin of :func:`sign_plane_signature` (same md5 planes,
+    same left-to-right fold)."""
+    out = []
+    for p in range(bits):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vec})), i ->"
+            f" (CASE WHEN substring(md5('hp{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)"
+            f" < '8' THEN 1.0 ELSE -1.0 END) * CAST({vec}[i] AS DOUBLE)))"
+        )
+        out.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(out)
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
     SELECT qid, vec_id, cosine, rn FROM (
       SELECT q.vec_id AS qid, v.vec_id AS vec_id,
-             list_sum(list_transform(list_zip(q.embedding, v.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
-               AS cosine,
+             {_duck_cos("q.embedding", "v.embedding")} AS cosine,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY
-               list_sum(list_transform(list_zip(q.embedding, v.embedding),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
-               DESC, v.vec_id) AS rn
+               {_duck_cos("q.embedding", "v.embedding")} DESC, v.vec_id) AS rn
       FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}
@@ -76,46 +129,72 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Scale path: random-hyperplane LSH. Each vector's bucket is the sign
-# pattern of its projections onto n_planes deterministic pseudo-random
-# hyperplanes (md5-derived coefficients in [-0.5, 0.5)). Probing only
-# the query's bucket turns all-pairs O(N·Q) into O(N·Q / 2^planes)
-# expected — re-ranked exactly within the bucket.
+# Scale path: multi-probe sign-plane LSH. Every vector lives in one
+# 4-bit bucket; each query probes its own bucket PLUS the 4 buckets at
+# Hamming distance 1 (flip one plane bit) — the standard multi-probe
+# trick that buys back recall lost to boundary-crossing neighbors at
+# 5/16 of the corpus instead of all of it, re-ranked exactly within
+# the probed set. Still an equi-join on the bucket key (the probe
+# explode happens on the tiny query side) and fully oracle-checked
+# (portable plane family).
 N_PLANES = 4
 
 
-def _plane_term(p: int):
-    def term(x, i):
-        coeff = (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{p}_"), i)), 1, 8), 16, 10)
-            .cast("double")
-            / F.lit(float(16**8))
-            - 0.5
-        )
-        return x.cast("double") * coeff
-
-    return term
+def _flip_bit_sql(bucket: str, i: int) -> str:
+    return (
+        f"substring({bucket}, 1, {i}) ||"
+        f" (CASE substring({bucket}, {i + 1}, 1) WHEN '1' THEN '0' ELSE '1' END) ||"
+        f" substring({bucket}, {i + 2})"
+    )
 
 
-def _lsh_bucket(vec_col):
-    bits = []
-    for p in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), _plane_term(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
-@register("ann_lsh_topk", oracle=None)
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {sql_sign_plane_signature("embedding", N_PLANES)} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             unnest([bucket,
+                     {", ".join(_flip_bit_sql("bucket", i) for i in range(4))}
+                    ]) AS bucket
+      FROM sig WHERE vec_id < {N_QUERIES}
+    )
+    SELECT qid, vec_id, cosine, rn FROM (
+      SELECT q.qid, v.vec_id,
+             {_duck_cos("q.qv", "v.embedding")} AS cosine,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               {_duck_cos("q.qv", "v.embedding")} DESC, v.vec_id) AS rn
+      FROM probes q JOIN sig v
+        ON q.bucket = v.bucket AND q.qid <> v.vec_id
+    ) WHERE rn <= {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _lsh_bucket(F.col("embedding"))
+        "bucket", sign_plane_signature(F.col("embedding"), N_PLANES)
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), "bucket"
+
+    def flip(i: int):
+        flipped = F.when(
+            F.substring("bucket", i + 1, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring("bucket", 1, i), flipped, F.substring("bucket", i + 2, N_PLANES)
+        )
+
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.explode(
+                F.array(F.col("bucket"), *[flip(i) for i in range(N_PLANES)])
+            ).alias("bucket"),
+        )
     )
     v = emb.select("vec_id", F.col("embedding").alias("vv"), "bucket")
     cosine = _dot("qv", "vv") / (_norm("qv") * _norm("vv"))
@@ -166,27 +245,16 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF (inverted-file) ANN — the third scale path alongside the two LSH
-# variants, and the only one that is fully oracle-checkable: the coarse
-# codebook is a deterministic hash-picked sample (not trained k-means),
-# cell assignment is argmax-cosine with a (cosine DESC, cid) tiebreak,
-# and per-row double arithmetic is engine-identical. Probing the
-# N_PROBE nearest cells turns the O(N·Q) scan into O(N·Q·nprobe/cells)
-# expected, re-ranked exactly within the probed cells — the same
-# partition-prune-then-rerank shape a 100 TB vector store needs (cells
-# become partition keys; the assign pass is one map-side broadcast
-# join; the search shuffles only candidates).
+# variants: the coarse codebook is a deterministic hash-picked sample
+# (not trained k-means), cell assignment is argmax-cosine with a
+# (cosine DESC, cid) tiebreak, and per-row double arithmetic is
+# engine-identical. Probing the N_PROBE nearest cells turns the O(N*Q)
+# scan into O(N*Q*nprobe/cells) expected, re-ranked exactly within the
+# probed cells — the same partition-prune-then-rerank shape a 100 TB
+# vector store needs (cells become partition keys; the assign pass is
+# one map-side broadcast join; the search shuffles only candidates).
 N_CELLS = 16
 N_PROBE = 4
-
-
-def _duck_cos(a: str, b: str) -> str:
-    dot = (
-        f"list_sum(list_transform(list_zip({a}, {b}),"
-        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-    return f"({dot} / ({na} * {nb}))"
 
 
 @register(
@@ -260,50 +328,3 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rn")
     )
-
-
-# Portable sign-plane family for cross-engine LSH: coefficient s(p,d)
-# is +-1 decided by one md5 hex digit, and projections are sequential
-# double folds — both bit-identical in Spark and DuckDB, so an LSH
-# *dedup* built on these planes is exactly oracle-checkable (unlike
-# the conv()-based family above, which has no DuckDB twin).
-HP_BITS = 16
-HP_BAND_BITS = 4  # 4 bands x 4 bits
-
-
-def _sign_plane_bit(vec_col, p: int):
-    def term(x, i):
-        sign = F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(f"hp{p}_"), i.cast("string"))), 1, 1
-            )
-            < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-        return x.cast("double") * sign
-
-    proj = F.aggregate(
-        F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), term),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-
-def sign_plane_signature(vec_col) -> F.Column:
-    """HP_BITS-char '0'/'1' signature string of a vector column."""
-    return F.concat(*[_sign_plane_bit(vec_col, p) for p in range(HP_BITS)])
-
-
-def sql_sign_plane_signature(vec: str) -> str:
-    """DuckDB twin of :func:`sign_plane_signature` (same md5 planes,
-    same left-to-right fold)."""
-    bits = []
-    for p in range(HP_BITS):
-        proj = (
-            f"list_sum(list_transform(generate_series(1, len({vec})), i ->"
-            f" (CASE WHEN substring(md5('hp{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1)"
-            f" < '8' THEN 1.0 ELSE -1.0 END) * CAST({vec}[i] AS DOUBLE)))"
-        )
-        bits.append(f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)")
-    return " || ".join(bits)

@@ -45,8 +45,6 @@ def test_queries_and_oracles_share_names():
     assert {n for n in q if n not in o} == {
         "graph_pagerank_trade",
         "mm_decode_image_meta",
-        "join_asof_cogrouped",
-        "ann_lsh_topk",
         "ann_ml_brp_lsh",
         "agg_approx_sketches",
     }

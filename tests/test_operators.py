@@ -98,8 +98,9 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         for q in exact_sets.index
     ]
     mean_recall = sum(recalls) / len(recalls)
-    # measured ~0.4-0.6 with 4 planes on random 64-dim vectors; the
-    # floor guards against the bucketing silently breaking
+    # near-orthogonal random 64-dim vectors are LSH's worst case;
+    # multi-probe (own bucket + 4 Hamming-1 flips) measured ~0.3-0.5
+    # here — the floor guards against the bucketing silently breaking
     assert mean_recall >= 0.15, f"LSH recall collapsed: {mean_recall:.2f}"
 
 
