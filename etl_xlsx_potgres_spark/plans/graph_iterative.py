@@ -10,9 +10,16 @@ Shows the engine's iterative-loop discipline:
 - dangling mass and the damping term keep the distribution a proper
   probability vector.
 
-No SQL oracle (iterative; driver records the rows-only check) — the
-invariants (mass conservation, determinism under repartitioning) are
-pinned by tests/test_operators.py.
+The registered query runs the FIXED-POINT variant: ranks are scaled
+integers (1e12 = total mass), per-edge contributions use integer
+division, and the damping step is ``(contrib * 85) div 100`` — every
+operation is exact on both engines, so the whole 8-iteration program
+is oracle-checked against an unrolled-CTE DuckDB twin. (Float
+PageRank's per-iteration ``SUM(double)`` is partition-order
+dependent — not reproducible across engines OR across retries of a
+100 TB job; fixed-point is the production posture, same as the money
+sums in registry.py.) The float variant stays for the invariant tests
+(mass conservation, repartition determinism).
 """
 
 from __future__ import annotations
@@ -77,7 +84,96 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     return ranks
 
 
-@register("graph_pagerank_trade", oracle=None)
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """edges(src, dst) -> (vertex, rank_fp BIGINT): PageRank on a
+    1e12 fixed-point mass — every step integer-exact, hence
+    bit-reproducible across engines, partitionings, and retries."""
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .coalesce(8)
+        .cache()
+    )
+    n = vertices.count()
+    base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    edges = edges.repartition(8).cache()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(8).cache()
+    ranks = vertices.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.vertex)
+            .join(F.broadcast(out_deg), "src")
+            .select(
+                F.col("dst").alias("vertex"),
+                F.expr("rank_fp div deg").alias("c"),
+            )
+            .repartition(8, "vertex")
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            vertices.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                F.expr(
+                    f"CAST({base} + (coalesce(contrib, 0L) * {DAMP_NUM})"
+                    f" div {DAMP_DEN} AS BIGINT)"
+                ).alias("rank_fp"),
+            )
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def _pagerank_oracle(n_iter: int = N_ITER) -> str:
+    base_sql = (
+        f"((1000000000000 * {DAMP_DEN - DAMP_NUM})"
+        f" // ({DAMP_DEN} * (SELECT n FROM nn)))"
+    )
+    ctes = [
+        """
+    pairs AS (
+      SELECT DISTINCT o_custkey AS c, -l_suppkey - 1 AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    verts AS (SELECT DISTINCT src AS vertex FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT vertex,
+                  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+           FROM verts)"""
+    ]
+    for k in range(n_iter):
+        ctes.append(f"""
+    r{k + 1} AS (
+      SELECT v.vertex,
+             CAST({base_sql}
+                  + (COALESCE(s.contrib, 0) * {DAMP_NUM}) // {DAMP_DEN}
+                  AS BIGINT) AS rank_fp
+      FROM verts v LEFT JOIN (
+        SELECT e.dst AS vertex,
+               CAST(SUM(r.rank_fp // d.deg) AS BIGINT) AS contrib
+        FROM edges e
+        JOIN r{k} r ON r.vertex = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s USING (vertex))""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT vertex, rank_fp FROM r{n_iter}
+    ORDER BY rank_fp DESC, vertex LIMIT 20
+    """
+    )
+
+
+@register("graph_pagerank_trade", oracle=_pagerank_oracle())
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -91,5 +187,5 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank(edges)
-    return ranks.orderBy(F.desc("rank"), "vertex").limit(20)
+    ranks = pagerank_fixed(edges)
+    return ranks.orderBy(F.desc("rank_fp"), "vertex").limit(20)
