@@ -1,0 +1,89 @@
+"""Environment-gated integration tests for the two runtime paths this
+container cannot exercise (no openpyxl, no Postgres). They skip
+cleanly here and run automatically wherever the dependency exists:
+
+- Excel: ``pytest.importorskip("openpyxl")`` — real workbook write →
+  intake → sheet enumeration → Spark read → parquet edge conversion.
+- Postgres: needs psycopg2 AND a live server named by
+  ``SPARK_GRAFT_PG_URL`` (e.g. ``jdbc:postgresql://localhost:5432/
+  etl_tsmx?user=postgres&password=...``) — full insert-if-absent
+  round-trip through the JDBC sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_excel_roundtrip_when_openpyxl_present(spark, tmp_path):
+    openpyxl = pytest.importorskip("openpyxl")
+
+    from etl_xlsx_potgres_spark.sources import excel
+
+    wb = openpyxl.Workbook()
+    ws = wb.active
+    ws.title = "Plan1"
+    ws.append(["Nome/Razão Social", "CPF/CNPJ", "Plano Valor"])
+    ws.append(["Cliente 1", "123456789-01", 99.9])
+    ws.append(["Cliente 2", "987654321-09", 49.9])
+    src = tmp_path / "clientes.xlsx"
+    wb.save(src)
+
+    landed = excel.validate_intake(str(src), str(tmp_path / "landing"))
+    assert excel.sheet_names(landed) == ["Plan1"]
+
+    df = excel.read_workbook(spark, landed, sheet="Plan1")
+    assert df.count() == 2
+    assert set(df.columns) == {"Nome/Razão Social", "CPF/CNPJ", "Plano Valor"}
+
+    prev = excel.preview(spark, landed, n=1)
+    assert len(prev["Plan1"]) == 1
+
+    out = excel.convert_to_parquet(spark, landed, str(tmp_path / "pq"))
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+
+
+def test_jdbc_insert_if_absent_roundtrip_when_pg_present(spark):
+    pytest.importorskip("psycopg2")
+    url = os.environ.get("SPARK_GRAFT_PG_URL")
+    if not url:
+        pytest.skip("set SPARK_GRAFT_PG_URL to run the live JDBC round-trip")
+
+    import psycopg2
+
+    from etl_xlsx_potgres_spark.sinks import jdbc
+
+    target = jdbc.JdbcTarget(url=url, table="it_upsert_roundtrip")
+    conn = psycopg2.connect(target.dbapi_dsn())
+    try:
+        with conn.cursor() as cur:
+            cur.execute("DROP TABLE IF EXISTS it_upsert_roundtrip")
+            cur.execute(
+                "CREATE TABLE it_upsert_roundtrip (k BIGINT PRIMARY KEY, v TEXT)"
+            )
+        conn.commit()
+
+        first = spark.range(10).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        )
+        jdbc.upsert_insert_if_absent(first, target, keys=["k"])
+        # overlapping second load: only the 5 new keys may land
+        second = spark.range(5, 15).select(
+            F.col("id").alias("k"), F.concat(F.lit("w"), F.col("id")).alias("v")
+        )
+        jdbc.upsert_insert_if_absent(second, target, keys=["k"])
+
+        with conn.cursor() as cur:
+            cur.execute("SELECT COUNT(*), MIN(v), MAX(k) FROM it_upsert_roundtrip")
+            n, minv, maxk = cur.fetchone()
+        assert n == 15 and maxk == 14
+        # keys 5-9 kept their first-load values (insert-if-absent)
+        with conn.cursor() as cur:
+            cur.execute("SELECT v FROM it_upsert_roundtrip WHERE k = 7")
+            assert cur.fetchone()[0] == "v7"
+    finally:
+        conn.close()
