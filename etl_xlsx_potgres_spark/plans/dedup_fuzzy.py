@@ -395,42 +395,33 @@ def _emb_lsh_oracle() -> str:
 
 @register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import sign_plane_signature
+    from .similarity import dot_flat, norm_flat, sign_plane_signature
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sig", sign_plane_signature(F.col("embedding"))
-    )
-    bands = emb.select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    # band rows are SLIM (vec_id, band, 4-bit key): the candidate
+    # shuffle and distinct never carry vectors — the arrays join back
+    # afterwards (broadcast here; id-keyed shuffle join at 100 TB)
+    sig = emb.select("vec_id", sign_plane_signature("embedding").alias("sig"))
+    bands = sig.select(
         "vec_id",
-        "embedding",
         F.posexplode(
             F.array(*[F.substring("sig", b * 4 + 1, 4) for b in range(4)])
         ).alias("b", "bk"),
     )
-    a = bands.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"), "b", "bk"
-    )
-    b = bands.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"), "b", "bk"
-    )
+    a = bands.select(F.col("vec_id").alias("v1"), "b", "bk")
+    b = bands.select(F.col("vec_id").alias("v2"), "b", "bk")
     cand = (
         a.join(b, ["b", "bk"])
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "ea", "eb")
+        .select("v1", "v2")
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
-    cosine = dot / (norm("ea") * norm("eb"))
+    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
+    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
+    cosine = dot_flat("ea", "eb") / (norm_flat("ea") * norm_flat("eb"))
     return (
-        cand.select("v1", "v2", cosine.alias("cosine"))
+        cand.join(F.broadcast(e1), "v1")
+        .join(F.broadcast(e2), "v2")
+        .select("v1", "v2", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _EMB_LSH_THRESHOLD)
     )

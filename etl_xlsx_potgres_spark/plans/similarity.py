@@ -55,32 +55,46 @@ def _duck_cos(a: str, b: str) -> str:
 # is +-1 decided by one md5 hex digit, and projections are sequential
 # double folds — both bit-identical in Spark and DuckDB, so LSH
 # bucketing built on these planes is exactly oracle-checkable.
+#
+# Hot-path note: the coefficients depend only on (plane, dim), so the
+# Spark side precomputes them driver-side (hashlib.md5 == engine md5)
+# and emits a flat literal-coefficient arithmetic chain — whole-stage
+# codegen instead of an interpreted per-row HOF fold, at identical
+# left-to-right addition order (so the result stays bit-equal to the
+# DuckDB list_sum fold).
 HP_BITS = 16
 HP_BAND_BITS = 4  # 4 bands x 4 bits
+EMB_DIM = 64  # the embeddings table's dimensionality
 
 
-def _sign_plane_bit(vec_col, p: int):
-    def term(x, i):
-        sign = F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(f"hp{p}_"), i.cast("string"))), 1, 1
-            )
-            < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-        return x.cast("double") * sign
+def _sign_coeffs(p: int, dim: int) -> list[float]:
+    import hashlib
 
-    proj = F.aggregate(
-        F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), term),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return [
+        1.0
+        if hashlib.md5(f"hp{p}_{d}".encode()).hexdigest()[0] < "8"
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def _sign_plane_bit_sql(col: str, p: int, dim: int) -> str:
+    coeffs = _sign_coeffs(p, dim)
+    terms = " + ".join(
+        f"CAST(element_at(`{col}`, {d + 1}) AS DOUBLE) * {c!r}D"
+        for d, c in enumerate(coeffs)
     )
-    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return f"(CASE WHEN ({terms}) >= 0D THEN '1' ELSE '0' END)"
 
 
-def sign_plane_signature(vec_col, bits: int = HP_BITS):
-    """'0'/'1' signature string of a vector column (``bits`` planes)."""
-    return F.concat(*[_sign_plane_bit(vec_col, p) for p in range(bits)])
+def sign_plane_signature(col: str, bits: int = HP_BITS, dim: int = EMB_DIM):
+    """'0'/'1' signature string of an array column named ``col``
+    (``bits`` planes; ``dim`` must match the array length). Built as
+    ONE SQL expression string: constructing the ~bits*dim-term tree
+    through py4j Column ops costs seconds of driver time; one expr()
+    parse is milliseconds."""
+    body = ", ".join(_sign_plane_bit_sql(col, p, dim) for p in range(bits))
+    return F.expr(f"concat({body})")
 
 
 def sql_sign_plane_signature(vec: str, bits: int = HP_BITS) -> str:
@@ -175,7 +189,7 @@ def _flip_bit_sql(bucket: str, i: int) -> str:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", sign_plane_signature(F.col("embedding"), N_PLANES)
+        "bucket", sign_plane_signature("embedding", N_PLANES)
     )
 
     def flip(i: int):
@@ -328,3 +342,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", "cosine", "rn")
     )
+
+
+def dot_flat(a: str, b: str, dim: int = EMB_DIM):
+    """Codegen-friendly dot product of two array columns (by name):
+    flat left-assoc chain — bit-equal to the sequential HOF fold
+    (0.0 + t0 == t0) and to DuckDB list_sum, but whole-stage-compiled
+    instead of interpreted, and built as one expr() parse instead of
+    ~dim py4j Column calls."""
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(`{b}`, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(f"({terms})")
+
+
+def norm_flat(a: str, dim: int = EMB_DIM):
+    terms = " + ".join(
+        f"CAST(element_at(`{a}`, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at(`{a}`, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(f"sqrt({terms})")

@@ -44,7 +44,7 @@ def test_lsh_banded_neardup_recall(spark):
     assert len(true_pairs) >= 50  # the generator really makes near-dups
 
     df = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
-    sig = df.withColumn("sig", sign_plane_signature(F.col("embedding")))
+    sig = df.withColumn("sig", sign_plane_signature("embedding", dim=DIM))
     bands = sig.select(
         "vec_id",
         "embedding",
