@@ -9,6 +9,7 @@ from .clean import (
 )
 from .dedup import dedup_arbitrary, dedup_deterministic
 from .edit_distance import levenshtein_pairs_blocked
+from .ids import surrogate_ids
 from .joins import fk_lookup, new_rows
 from .quality import validate_split
 from .reshape import extract_dimension, unpivot
@@ -24,6 +25,7 @@ __all__ = [
     "dedup_arbitrary",
     "dedup_deterministic",
     "levenshtein_pairs_blocked",
+    "surrogate_ids",
     "fk_lookup",
     "new_rows",
     "validate_split",

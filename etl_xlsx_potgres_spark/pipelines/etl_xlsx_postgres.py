@@ -40,6 +40,7 @@ from ..operators.clean import (
     with_defaults,
 )
 from ..operators.dedup import dedup_deterministic
+from ..operators.ids import surrogate_ids
 from ..operators.joins import fk_lookup
 from ..operators.reshape import extract_dimension, unpivot
 
@@ -109,14 +110,14 @@ def build_outputs(
 
     # engine-side surrogate ids for sink-independent runs; a JDBC sink
     # with sequences would instead read ids back after the load.
-    # The global (unpartitioned) window is fine at dimension scale;
-    # a 100 TB entity table would use monotonically_increasing_id or
-    # zipWithIndex instead of a single-partition sort.
-    cliente_ids = clientes.select("cpf_cnpj").withColumn(
-        "cliente_id", F.row_number().over(Window.orderBy("cpf_cnpj"))
+    # surrogate_ids produces exactly row_number() OVER (ORDER BY key)
+    # but through a distributed range-sort — no single-partition
+    # window, so the same code path holds on a 100 TB entity table.
+    cliente_ids = surrogate_ids(
+        clientes.select("cpf_cnpj"), ["cpf_cnpj"], "cliente_id"
     )
-    plano_ids = planos.select("descricao").withColumn(
-        "plano_id", F.row_number().over(Window.orderBy("descricao"))
+    plano_ids = surrogate_ids(
+        planos.select("descricao"), ["descricao"], "plano_id"
     )
 
     status = _seed_df(spark, STATUS_SEED, "status_id", "status")

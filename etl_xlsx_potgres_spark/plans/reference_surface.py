@@ -392,3 +392,23 @@ def ref_dimension_load_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     dim = extract_dimension(p, "p_brand", ["p_retailprice", "p_type"])
     return dim.agg(F.count(F.lit(1)).alias("planos"))
+
+
+# Surrogate-key assignment at scale — replaces both the reference
+# sink's SERIAL sequences (schema_database_pgsql.sql) and the naive
+# single-partition row_number window: identical ids (global rank by
+# key) from a fully distributed range-sort plan (operators/ids.py).
+@register(
+    "ref_surrogate_ids_scalable",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           CAST(row_number() OVER (ORDER BY p_brand, p_partkey) AS BIGINT)
+             AS sk
+    FROM part
+    """,
+)
+def ref_surrogate_ids_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import surrogate_ids
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return surrogate_ids(p, ["p_brand", "p_partkey"], "sk")

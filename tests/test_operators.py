@@ -226,3 +226,26 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, f"IVF recall collapsed: {mean_recall:.2f}"
+
+
+def test_surrogate_ids_match_global_row_number(spark, sf_dir):
+    """The distributed range-sort id assignment must equal the naive
+    single-partition window exactly."""
+    from pyspark.sql import Window
+
+    from etl_xlsx_potgres_spark.operators.ids import surrogate_ids
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    got = {
+        (r.c_custkey, r.sk)
+        for r in surrogate_ids(c, ["c_name", "c_custkey"], "sk").collect()
+    }
+    want = {
+        (r.c_custkey, r.sk)
+        for r in c.withColumn(
+            "sk",
+            F.row_number().over(Window.orderBy("c_name", "c_custkey")).cast("long"),
+        ).collect()
+    }
+    assert got == want

@@ -140,3 +140,12 @@ def test_embedding_lsh_joins_on_band_keys(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "bk" in plan  # band key is a join/partition key in the plan
+
+
+def test_surrogate_ids_avoid_single_partition_sort(spark, sf_dir):
+    """Scalable id assignment: the data path must be a range
+    repartition, not an Exchange SinglePartition of the whole table
+    (the only single-partition window allowed is over the
+    #partitions-row offsets frame)."""
+    plan = _plan(spark, sf_dir, "ref_surrogate_ids_scalable")
+    assert "rangepartitioning" in plan or "REPARTITION_BY_RANGE" in plan
