@@ -15,10 +15,13 @@ from ..operators.text import (
     LANG_MARKERS,
     fingerprint,
     normalize_text,
+    shingles_long,
     token_count,
+    tokens,
 )
 from ..registry import register
 from ..sources import load_table
+from .dedup_fuzzy import _DUCK_SHINGLES
 
 _DUCK_TOKENS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 
@@ -188,4 +191,65 @@ def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# Repetition quality signals (the Gopher/C4 family): fraction of mass
+# taken by the single most frequent token, and the duplicate-3-gram
+# fraction. Both are long-form explode + groupBy shapes (no
+# interpreted per-row HOFs) — one shuffle on (doc_id, token) and one
+# on (doc_id, shingle), the same plan at any corpus size. High values
+# flag boilerplate/spam documents for the curation gate.
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    per AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+             CAST(MAX(c) AS BIGINT) AS max_tok
+      FROM tc GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+    ),
+    shc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(COUNT(DISTINCT s) AS BIGINT) AS n_dist
+      FROM sh GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_toks,
+           CAST(p.max_tok AS DOUBLE) / p.n_toks AS top_tok_frac,
+           COALESCE(1.0 - CAST(s.n_dist AS DOUBLE) / s.n_sh, 0.0) AS dup3_frac
+    FROM per p LEFT JOIN shc s USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_toks"),
+        F.max("c").cast("long").alias("max_tok"),
+    )
+    sh = shingles_long(d, "text", 3)
+    shc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
+        F.countDistinct("s").cast("long").alias("n_dist"),
+    )
+    return (
+        per.join(shc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("max_tok").cast("double") / F.col("n_toks")).alias(
+                "top_tok_frac"
+            ),
+            F.coalesce(
+                F.lit(1.0) - F.col("n_dist").cast("double") / F.col("n_sh"),
+                F.lit(0.0),
+            ).alias("dup3_frac"),
+        )
     )
