@@ -49,7 +49,9 @@ _MODULE_PRIORITY = [
 
 def _verified_green() -> set[str]:
     """Names whose most recent CORRECTNESS_r*.json row is a non-vacuous
-    pass (hash_match, or a no_oracle row that returned rows)."""
+    pass (hash_match, or a no_oracle row that returned rows). A
+    no_oracle row only counts while the query STILL has no oracle — a
+    query that gained an oracle since must be re-verified against it."""
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
@@ -62,7 +64,7 @@ def _verified_green() -> set[str]:
                 continue
             nonempty = (row.get("spark_rows") or 0) > 0
             ok = (
-                row.get("err") == "no_oracle"
+                row.get("err") == "no_oracle" and name not in registry.ORACLES
                 if row.get("hash_match") is None
                 else bool(row.get("hash_match"))
             )

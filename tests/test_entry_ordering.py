@@ -47,3 +47,13 @@ def test_queries_and_oracles_share_names():
         "ann_ml_brp_lsh",
         "agg_approx_sketches",
     }
+
+
+def test_newly_oracled_queries_are_reprioritized():
+    # these passed round 1 as weaker no_oracle rows-only checks, then
+    # gained full oracles — they must queue for re-verification
+    registry.load_all()
+    green = entry_mod._verified_green()
+    for name in ("graph_pagerank_trade", "join_asof_cogrouped", "ann_lsh_topk"):
+        assert name in registry.ORACLES
+        assert name not in green
