@@ -1,7 +1,10 @@
-"""Multimodal queries: binary-column stats (oracle-checked) and the
-mapInPandas decode pipeline (rows-only: the pseudo-decode runs in
-Python, outside SQL's reach — its determinism is pinned by unit tests
-instead)."""
+"""Multimodal queries: binary-column stats and the mapInPandas decode
+pipeline — BOTH oracle-checked. The pseudo-decode's md5-derived
+dimensions (operators/multimodal._fake_meta) are pure hex arithmetic,
+so the DuckDB oracle recomputes them with strpos-based hex-digit
+parsing: the Arrow-batched Python path is differentially proven to
+agree with a declarative restatement, which is exactly the guarantee
+you want before trusting a Python codec stage at 100 TB."""
 
 from __future__ import annotations
 
@@ -11,6 +14,11 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import attach_binary_payload, decode_image_meta
 from ..registry import register
 from ..sources import load_table
+
+
+def _hexv(expr: str, i: int) -> str:
+    """DuckDB: value 0-15 of the i-th (1-based) hex digit of expr."""
+    return f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
 
 
 @register(
@@ -33,7 +41,25 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_image_meta", oracle=None)
+@register(
+    "mm_decode_image_meta",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS dg,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           dg AS content_md5,
+           CAST(16 * (1 + ({_hexv("dg", 1)} * 16 + {_hexv("dg", 2)}) % 64)
+                AS INTEGER) AS width,
+           CAST(16 * (1 + ({_hexv("dg", 3)} * 16 + {_hexv("dg", 4)}) % 64)
+                AS INTEGER) AS height,
+           CAST(1 + {_hexv("dg", 5)} % 4 AS INTEGER) AS channels
+    FROM m
+    """,
+)
 def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_image_meta(d)

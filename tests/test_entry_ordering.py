@@ -43,7 +43,6 @@ def test_queries_and_oracles_share_names():
     assert set(o) <= set(q)
     # oracle-less queries are the documented non-SQL-expressible set
     assert {n for n in q if n not in o} == {
-        "mm_decode_image_meta",
         "ann_ml_brp_lsh",
         "agg_approx_sketches",
     }
