@@ -95,9 +95,12 @@ def decode_image_real(df: DataFrame) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Deterministic frame/asset sampling: keep every n-th asset by a
-    stable hash of the content — a pure Catalyst expression, no UDF,
-    so the sample predicate pushes into the scan stage."""
-    return df.filter(
-        (F.abs(F.hash(F.col("content_md5"))) % every_n) == 0
-    )
+    """Deterministic ~1/n frame/asset sampling: keep an asset iff its
+    content-md5 prefix clears a hex threshold — a pure Catalyst
+    expression, no UDF, so the predicate pushes into the scan stage.
+    md5-prefix thresholding (not engine ``hash()``) keeps the sample
+    identical across engines, runs, and cluster sizes — the same
+    portability rule as the split/sampling operators in
+    plans/training_data.py."""
+    threshold = f"{(16**4) // every_n:04x}"
+    return df.filter(F.substring("content_md5", 1, 4) < F.lit(threshold))

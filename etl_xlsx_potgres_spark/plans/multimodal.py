@@ -63,3 +63,32 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return decode_image_meta(d)
+
+
+# Asset sampling downstream of the decode stage: deterministic ~1/10
+# md5-threshold sample of decoded assets (operators/multimodal.
+# frame_sample). The filter is a scan-pushable expression over the
+# already-proven decode output, so the oracle re-derives the metadata
+# AND the sampling decision.
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    )
+    SELECT doc_id, dg AS content_md5,
+           CAST(16 * (1 + ({_hexv("dg", 1)} * 16 + {_hexv("dg", 2)}) % 64)
+                AS INTEGER) AS width,
+           CAST(16 * (1 + ({_hexv("dg", 3)} * 16 + {_hexv("dg", 4)}) % 64)
+                AS INTEGER) AS height
+    FROM m WHERE substr(dg, 1, 4) < '1999'
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    meta = decode_image_meta(d)
+    return frame_sample(meta, every_n=10).select(
+        "doc_id", "content_md5", "width", "height"
+    )
