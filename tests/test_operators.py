@@ -172,6 +172,7 @@ def test_file_format_roundtrip(spark, sf_dir, tmp_path):
     from etl_xlsx_potgres_spark.sources.files import (
         read_csv,
         read_json,
+        read_orc,
         write_sorted_parquet,
     )
     from etl_xlsx_potgres_spark.sources import load_table
@@ -186,6 +187,10 @@ def test_file_format_roundtrip(spark, sf_dir, tmp_path):
     json_path = str(tmp_path / "c.json")
     c.write.json(json_path)
     assert read_json(spark, json_path, schema).count() == c.count()
+
+    orc_path = str(tmp_path / "c.orc")
+    c.write.orc(orc_path)
+    assert read_orc(spark, orc_path, schema).count() == c.count()
 
     pq_path = str(tmp_path / "c_sorted")
     write_sorted_parquet(c, pq_path, ["c_custkey"], target_partitions=4)
