@@ -393,3 +393,56 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+# Pure time-range join (NO equi key): purchases matched to error
+# events within +-5 minutes across ALL users. The naive formulation is
+# a quadratic theta-join; the scale shape is INTERVAL BINNING: key the
+# build side by its 300s epoch bin, explode the probe side to the 3
+# bins any +-300s window can touch, equi-join on the bin, then apply
+# the exact timestamp predicate. Each (purchase, error) pair meets in
+# exactly one bin (the error's own), so no dedup pass is needed, and
+# the shuffle carries bin keys — cost tracks matches, not the cross
+# product. Gap stats use integer microseconds (exact on both engines).
+@register(
+    "join_range_binned_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_errors,
+           CAST(MIN(ABS(epoch_us(e.ts) - epoch_us(p.ts))) AS BIGINT)
+             AS min_gap_us
+    FROM events p JOIN events e
+      ON e.event_type = 'error'
+     AND e.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_range_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+        F.floor(F.col("ts").cast("long") / 300).alias("bin"),
+    )
+    pbin = F.floor(F.col("ts").cast("long") / 300)
+    pur = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.explode(F.array(pbin - 1, pbin, pbin + 1)).alias("bin"),
+    )
+    gap_us = F.abs(
+        F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))
+    )
+    return (
+        pur.join(err, "bin")
+        .filter(
+            (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTE"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTE"))
+        )
+        .groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_errors"),
+            F.min(gap_us).cast("long").alias("min_gap_us"),
+        )
+    )
