@@ -4,6 +4,7 @@ already proven green in committed CORRECTNESS_r*.json files."""
 
 from __future__ import annotations
 
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -29,12 +30,51 @@ def test_unverified_queries_come_before_verified_green():
     assert last_pending < first_green
 
 
-def test_vacuous_and_failed_rows_do_not_count_as_green():
-    # round 1: dedup_embedding_neardup passed on 0 rows (vacuous),
-    # split_train_val_test failed hash — both must be re-verified first
+def _write_correctness(tmp_path, round_no, rows):
+    path = tmp_path / f"CORRECTNESS_r{round_no:02d}.json"
+    path.write_text(json.dumps(rows))
+    return path
+
+
+def test_vacuous_and_failed_rows_do_not_count_as_green(tmp_path, monkeypatch):
+    # A pass on 0 rows proves nothing, and a hash mismatch is a failure;
+    # neither may count as verified-green (they must queue for re-check).
+    _write_correctness(tmp_path, 1, {
+        "vacuous_pass": {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 0, "oracle_rows": 0, "err": None,
+        },
+        "hash_fail": {
+            "rows_match": True, "schema_match": True, "hash_match": False,
+            "spark_rows": 10, "oracle_rows": 10, "err": None,
+        },
+        "real_pass": {
+            "rows_match": True, "schema_match": True, "hash_match": True,
+            "spark_rows": 10, "oracle_rows": 10, "err": None,
+        },
+    })
+    monkeypatch.setattr(entry_mod, "_REPO", str(tmp_path))
     green = entry_mod._verified_green()
-    assert "dedup_embedding_neardup" not in green
-    assert "split_train_val_test" not in green
+    assert "vacuous_pass" not in green
+    assert "hash_fail" not in green
+    assert "real_pass" in green
+
+
+def test_later_round_verdict_overrides_earlier(tmp_path, monkeypatch):
+    # most-recent round wins in both directions: a later failure
+    # un-greens an earlier pass, and a later pass greens an earlier fail
+    _write_correctness(tmp_path, 1, {
+        "was_green": {"hash_match": True, "spark_rows": 5, "err": None},
+        "was_red": {"hash_match": False, "spark_rows": 5, "err": None},
+    })
+    _write_correctness(tmp_path, 2, {
+        "was_green": {"hash_match": False, "spark_rows": 5, "err": None},
+        "was_red": {"hash_match": True, "spark_rows": 5, "err": None},
+    })
+    monkeypatch.setattr(entry_mod, "_REPO", str(tmp_path))
+    green = entry_mod._verified_green()
+    assert "was_green" not in green
+    assert "was_red" in green
 
 
 def test_queries_and_oracles_share_names():
@@ -48,11 +88,18 @@ def test_queries_and_oracles_share_names():
     }
 
 
-def test_newly_oracled_queries_are_reprioritized():
-    # these passed round 1 as weaker no_oracle rows-only checks, then
-    # gained full oracles — they must queue for re-verification
+def test_newly_oracled_queries_are_reprioritized(tmp_path, monkeypatch):
+    # a query that passed a weaker no_oracle rows-only check and LATER
+    # gained a full oracle must queue for re-verification; a query that
+    # is still legitimately oracle-less keeps its rows-only green
     registry.load_all()
+    oracled = next(iter(registry.ORACLES))          # has an oracle now
+    oracle_less = next(n for n in registry.QUERIES if n not in registry.ORACLES)
+    _write_correctness(tmp_path, 1, {
+        oracled: {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+        oracle_less: {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
+    })
+    monkeypatch.setattr(entry_mod, "_REPO", str(tmp_path))
     green = entry_mod._verified_green()
-    for name in ("graph_pagerank_trade", "join_asof_cogrouped", "ann_lsh_topk"):
-        assert name in registry.ORACLES
-        assert name not in green
+    assert oracled not in green
+    assert oracle_less in green
