@@ -28,13 +28,24 @@ sink-independent runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def surrogate_ids(
-    df: DataFrame, order_by: list[str], id_col: str, start: int = 1
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column | str],
+    id_col: str,
+    start: int = 1,
 ) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY *order_by)``.
+
+    ``order_by`` may contain sort-order expressions (``F.desc(...)``,
+    ``col.asc_nulls_first()``); the range partitioner and the local
+    window see the same sort orders, so partition k holds exactly the
+    rows ranked between partitions k-1 and k+1. ``order_by`` must be a
+    total order for a deterministic result.
+    """
     ranged = df.repartitionByRange(*order_by).sortWithinPartitions(*order_by)
     part = ranged.withColumn("__pid", F.spark_partition_id())
 
@@ -42,12 +53,16 @@ def surrogate_ids(
     local = part.withColumn("__rn", F.row_number().over(w_local))
 
     sizes = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # exclusive prefix sum over the #partitions-row sizes frame via a
+    # triangular self-join (P^2 pairs, P = partition count) — no
+    # unpartitioned window anywhere in the plan
+    prior = sizes.select(
+        F.col("__pid").alias("__pid_lt"), F.col("__n").alias("__n_lt")
     )
-    offsets = sizes.select(
-        "__pid",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    offsets = (
+        sizes.join(F.broadcast(prior), F.col("__pid_lt") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__n_lt"), F.lit(0)).alias("__off"))
     )
 
     return (
@@ -57,4 +72,39 @@ def surrogate_ids(
             (F.col("__off") + F.col("__rn") + F.lit(start - 1)).cast("long"),
         )
         .drop("__pid", "__rn", "__off")
+    )
+
+
+def surrogate_ids(
+    df: DataFrame, order_by: list[str], id_col: str, start: int = 1
+) -> DataFrame:
+    return global_row_number(df, list(order_by), id_col, start)
+
+
+def global_ntile(
+    df: DataFrame, order_by: list[Column | str], n_tiles: int, tile_col: str
+) -> DataFrame:
+    """Distributed ``NTILE(n) OVER (ORDER BY *order_by)``.
+
+    Exact NTILE semantics: with cnt = q*n + r rows, the FIRST r tiles
+    get q+1 rows and the rest get q — ``((rank-1)*n) div cnt + 1``
+    would spread the larger tiles evenly instead, which disagrees with
+    SQL NTILE whenever cnt % n != 0.
+    """
+    ranked = global_row_number(df, order_by, "__grank")
+    total = ranked.agg(F.count(F.lit(1)).alias("__cnt"))
+    # `div` = exact integer division (double `/` rounds past 2^53 rows)
+    tile = F.expr(
+        f"""CASE
+          WHEN __grank - 1 < (__cnt % {n_tiles}) * (__cnt div {n_tiles} + 1)
+          THEN (__grank - 1) div (__cnt div {n_tiles} + 1) + 1
+          ELSE (__cnt % {n_tiles})
+               + ((__grank - 1) - (__cnt % {n_tiles}) * (__cnt div {n_tiles} + 1))
+                 div (__cnt div {n_tiles}) + 1
+        END"""
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("__grank", "__cnt")
     )

@@ -214,5 +214,10 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.desc("n_occurrences"), "term")
-    return counts.withColumn("freq_rank", F.row_number().over(w))
+    # distributed global rank (range-partition + offsets), not an
+    # unpartitioned row_number window
+    from ..operators.ids import global_row_number
+
+    return global_row_number(
+        counts, [F.desc("n_occurrences"), F.asc("term")], "freq_rank"
+    )

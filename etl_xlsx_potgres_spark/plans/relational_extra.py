@@ -173,19 +173,24 @@ def setops_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two distributed global ranks (range-partition + offsets, not an
+    # unpartitioned window); the null-ordering semantics live in the
+    # sort-key expressions, which the range partitioner honors. The two
+    # rank frames rejoin on the unique key.
+    from ..operators.ids import global_row_number
+
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
     )
-    return c.select(
-        "c_custkey",
-        "seg",
-        F.row_number()
-        .over(Window.orderBy(F.col("seg").asc_nulls_first(), "c_custkey"))
-        .alias("rn_nf"),
-        F.row_number()
-        .over(Window.orderBy(F.col("seg").desc_nulls_last(), "c_custkey"))
-        .alias("rn_nl"),
+    nf = global_row_number(
+        c, [F.col("seg").asc_nulls_first(), F.asc("c_custkey")], "rn_nf"
     )
+    nl = global_row_number(
+        c.select("c_custkey", "seg"),
+        [F.col("seg").desc_nulls_last(), F.asc("c_custkey")],
+        "rn_nl",
+    ).select("c_custkey", "rn_nl")
+    return nf.join(nl, "c_custkey").select("c_custkey", "seg", "rn_nf", "rn_nl")
 
 
 # Skew handling: lineitem's 3-value returnflag is maximally hot; the

@@ -333,10 +333,15 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def win_ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT F.ntile over an unpartitioned window (single-partition sort of
+    # the whole table): global_ntile range-partitions on the sort key and
+    # derives the tile from a distributed global rank + the exact NTILE
+    # front-loading formula.
+    from ..operators.ids import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(o, ["o_totalprice", "o_orderkey"], 10, "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -254,3 +254,49 @@ def test_surrogate_ids_match_global_row_number(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_global_row_number_honors_desc_and_null_order(spark, sf_dir):
+    """Sort-order expressions (desc, nulls-first/last) must survive the
+    range partitioner and reproduce the naive global window exactly."""
+    from pyspark.sql import Window
+
+    from etl_xlsx_potgres_spark.operators.ids import global_row_number
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    order = [F.col("seg").desc_nulls_last(), F.asc("c_custkey")]
+    got = {
+        (r.c_custkey, r.rn)
+        for r in global_row_number(c, order, "rn").collect()
+    }
+    want = {
+        (r.c_custkey, r.rn)
+        for r in c.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_matches_sql_ntile_on_ragged_count(spark):
+    """NTILE front-loads the larger tiles; the distributed formula must
+    agree with F.ntile exactly when count % n_tiles != 0."""
+    from pyspark.sql import Window
+
+    from etl_xlsx_potgres_spark.operators.ids import global_ntile
+
+    n = 47  # 47 = 4*10 + 7: first 7 deciles get 5 rows, last 3 get 4
+    df = spark.range(n).select((F.col("id") * 37 % 101).alias("k"), "id")
+    got = {
+        (r.id, r.t) for r in global_ntile(df, ["k", "id"], 10, "t").collect()
+    }
+    want = {
+        (r.id, r.t)
+        for r in df.withColumn(
+            "t", F.ntile(10).over(Window.orderBy("k", "id"))
+        ).collect()
+    }
+    assert got == want
