@@ -21,6 +21,8 @@ Scale shapes (the whole point of each design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -364,6 +366,46 @@ _DUCK_COS_AB = (
 )
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix, mult in units.items():
+        for s in (suffix + "b", suffix):
+            if raw.endswith(s):
+                return int(raw[: -len(s)]) * mult
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    return int(raw)
+
+
+def _size_aware_broadcast(
+    spark: SparkSession, sf_dir: str, frame: DataFrame, table: str = "embeddings"
+) -> DataFrame:
+    """Broadcast ``frame`` only while the backing table is actually
+    small: under autoBroadcastJoinThreshold (by on-disk parquet size)
+    -> broadcast hint; above -> plain frame, so the planner does an
+    id-keyed shuffle join. At 100 TB the embedding table is NOT
+    broadcastable and the hint must not be hard-coded."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        )
+    except OSError:
+        return frame
+    if size <= _broadcast_threshold_bytes(spark):
+        return F.broadcast(frame)
+    return frame
+
+
 def _emb_lsh_oracle() -> str:
     from .similarity import sql_sign_plane_signature
 
@@ -391,7 +433,11 @@ def _emb_lsh_oracle() -> str:
 
 @register("dedup_embedding_lsh", oracle=_emb_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import dot_flat, norm_flat, sign_plane_signature
+    from .similarity import (
+        dot_pairs_pandas,
+        norm_flat,
+        sign_plane_signature_pandas,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # band rows are SLIM (vec_id, band, 4-bit key): the candidate
@@ -403,7 +449,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # past janino's comfort zone). 16 bytes/row — cache is free here;
     # at 100 TB this is a checkpoint, same policy as plans/curation.
     sig = (
-        emb.select("vec_id", sign_plane_signature("embedding").alias("sig"))
+        emb.select("vec_id", sign_plane_signature_pandas("embedding").alias("sig"))
         .cache()
     )
     bands = sig.select(
@@ -420,12 +466,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2")
         .distinct()
     )
-    e1 = emb.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"))
-    e2 = emb.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"))
-    cosine = dot_flat("ea", "eb") / (norm_flat("ea") * norm_flat("eb"))
+    # Verify-stage shape (this was the r3 bench regression): norms are
+    # computed ONCE per vector on the small join build side, and the
+    # per-pair dot runs as an Arrow-batched pandas UDF — inlining the
+    # 64-term dot_flat chain into the join stage either fails janino's
+    # 64 KB method limit (~10 s wasted on the first compile attempt,
+    # then interpreted fallback; cold 14.8 s) or, with norms hoisted
+    # out, compiles into a method too big for the JIT (never compiled,
+    # ~24 us/pair). The UDF keeps per-row results bit-identical to the
+    # oracle (sequential fold, see dot_pairs_pandas).
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        norm_flat("embedding").alias("na"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        norm_flat("embedding").alias("nb"),
+    )
+    cosine = dot_pairs_pandas(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
-        cand.join(F.broadcast(e1), "v1")
-        .join(F.broadcast(e2), "v2")
+        cand.join(_size_aware_broadcast(spark, sf_dir, e1), "v1")
+        .join(_size_aware_broadcast(spark, sf_dir, e2), "v2")
         .select("v1", "v2", cosine.alias("cosine"))
         .filter(F.col("cosine") >= _EMB_LSH_THRESHOLD)
     )

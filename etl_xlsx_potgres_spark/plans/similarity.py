@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -365,3 +367,65 @@ def norm_flat(a: str, dim: int = EMB_DIM):
         for i in range(dim)
     )
     return F.expr(f"sqrt({terms})")
+
+
+def sign_plane_signature_pandas(col, bits: int = HP_BITS, dim: int = EMB_DIM):
+    """Arrow-batched twin of :func:`sign_plane_signature` — identical
+    bits (exact +-1.0 coefficient products, sequential left-assoc sum
+    per plane, >= 0 test), but computed as numpy column ops instead of
+    a ~bits*dim-term codegen expression whose janino compile alone
+    costs seconds on the first run."""
+    from pyspark.sql.functions import pandas_udf
+
+    coeffs = [_sign_coeffs(p, dim) for p in range(bits)]
+
+    @pandas_udf("string")
+    def _sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        A = np.stack(v.to_numpy()).astype(np.float64)
+        planes = []
+        for p in range(bits):
+            acc = A[:, 0] * coeffs[p][0]
+            for d in range(1, dim):
+                acc = acc + A[:, d] * coeffs[p][d]
+            planes.append(np.where(acc >= 0.0, "1", "0"))
+        out = planes[0]
+        for b in planes[1:]:
+            out = np.char.add(out, b)
+        return pd.Series(out, index=v.index).astype("object")
+
+    return _sig(col)
+
+
+def dot_pairs_pandas(a_col, b_col):
+    """Arrow-batched dot product for HIGH-VOLUME pair verification.
+
+    ``dot_flat`` unrolls dim terms into the enclosing whole-stage
+    method; fused behind a couple of joins that method passes either
+    janino's 64 KB limit (compile fails, ~10 s wasted on the first
+    attempt, then interpreted fallback) or the JVM JIT's huge-method
+    bytecode limit (compiles but never JITs — measured ~24 us/pair,
+    2.5x slower than the interpreted fallback). For a verify stage
+    that feeds hundreds of thousands of candidate pairs through the
+    dot, the scale path is a vectorized pandas UDF: one Arrow batch
+    transfer, numpy column ops across the batch, and a SEQUENTIAL
+    accumulation over dimensions (``acc = acc + a_i*b_i`` per row,
+    0.0 + t0 == t0) so every per-row result stays bit-identical to
+    the ``dot_flat`` left-assoc chain and to the DuckDB
+    ``list_sum(list_transform(list_zip(...)))`` oracle fold.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(ea.to_numpy()).astype(np.float64)
+        B = np.stack(eb.to_numpy()).astype(np.float64)
+        acc = A[:, 0] * B[:, 0]
+        for i in range(1, A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc, index=ea.index)
+
+    return _dot(a_col, b_col)
