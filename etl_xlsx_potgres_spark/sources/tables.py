@@ -86,11 +86,49 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
 }
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-# ([PARQUET_TYPE_ILLEGAL]). Read it as raw int64 nanos and truncate to
-# micros (integer division — matches DuckDB's ns->us truncation), so
-# downstream code and the oracle see identical TimestampType values.
+# Some fixture generations write events.ts as parquet TIMESTAMP(NANOS),
+# which Spark's reader rejects ([PARQUET_TYPE_ILLEGAL]). When (and only
+# when) the footer actually says nanos, read it as raw int64 nanos and
+# truncate to micros (integer division — matches DuckDB's ns->us
+# truncation), so downstream code and the oracle see identical
+# TimestampType values. Micros fixtures read via the declared schema
+# directly — applying the div-1000 shim to micros data would shift every
+# timestamp 1000x into Jan 1970.
 _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+# path -> whether the footer declares any _NANOS_TS_COLS column as nanos.
+# Footer probe is one small metadata read; cache so repeated load_table
+# calls (tests, bench, entry rotation) don't re-read it.
+_NANOS_PROBE_CACHE: dict[str, bool] = {}
+
+
+def _has_nanos_ts(path: str, cols: list[str]) -> bool:
+    cached = _NANOS_PROBE_CACHE.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                raise FileNotFoundError(path)
+            probe = parts[0]
+        schema = pq.read_schema(probe)
+        nanos = any(
+            c in schema.names and str(schema.field(c).type) == "timestamp[ns]"
+            for c in cols
+        )
+    except Exception:
+        # No pyarrow / unreadable footer: assume the modern micros layout
+        # and let the declared-schema read surface any real type error.
+        nanos = False
+    _NANOS_PROBE_CACHE[path] = nanos
+    return nanos
 
 _RAW_SCHEMAS: dict[str, T.StructType] = {
     "events": _struct(
@@ -122,7 +160,7 @@ TABLE_NAMES = tuple(SCHEMAS)
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table with its declared schema."""
     path = f"{sf_dir}/{name}.parquet"
-    if name in _NANOS_TS_COLS:
+    if name in _NANOS_TS_COLS and _has_nanos_ts(path, _NANOS_TS_COLS[name]):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(_RAW_SCHEMAS[name]).parquet(path)
         for c in _NANOS_TS_COLS[name]:

@@ -33,18 +33,28 @@ _RAW_EVENTS = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (ns->us conversion as in
-    sources/tables.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of the events table (footer-probed ns->us
+    conversion as in sources/tables.py — the shim applies only when the
+    parquet footer actually declares TIMESTAMP(NANOS))."""
+    from ..sources.tables import SCHEMAS, _has_nanos_ts
+
     # The file source wants a directory (the "landing dir" model of
     # importador.py's uploads/); glob-filter down to the events table.
-    raw = (
-        spark.readStream.schema(_RAW_EVENTS)
+    if _has_nanos_ts(f"{sf_dir}/events.parquet", ["ts"]):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_RAW_EVENTS)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def run_streaming_query(
