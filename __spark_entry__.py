@@ -12,6 +12,7 @@ thin adapter over its query registry.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 from collections.abc import Callable
@@ -22,8 +23,88 @@ from etl_xlsx_potgres_spark import registry
 from etl_xlsx_potgres_spark.session import tune_for_oracle
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Committed ledger of WHEN each green verdict was earned: for every
+# locally-verified query it records a source hash (the query's module +
+# the shared data-layer core) and a fingerprint of the oracle-SF
+# fixtures at verification time. A driver CORRECTNESS green row is only
+# trusted while both still match — any code or fixture change re-queues
+# the query into the verify-first block. (Round 5 shipped 8 silently
+# broken queries because stale r2/r3 verdicts outlived a fixture
+# regeneration; this ledger is the invalidation the judge asked for.)
+def _stamps_path() -> str:
+    return os.path.join(_REPO, "GREEN_STAMPS.json")
+
+# Changes to these invalidate EVERY stamp: they sit under all queries
+# (table readers, the decimal-sum policy, session tuning, the registry).
+_CORE_FILES = (
+    "etl_xlsx_potgres_spark/sources/tables.py",
+    "etl_xlsx_potgres_spark/functions/numeric.py",
+    "etl_xlsx_potgres_spark/session.py",
+    "etl_xlsx_potgres_spark/registry.py",
+)
+
+
+def _file_sha(path: str) -> str:
+    try:
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return "missing"
+
+
+def _core_hash() -> str:
+    h = hashlib.sha256()
+    for rel in _CORE_FILES:
+        h.update(_file_sha(os.path.join(_REPO, rel)).encode())
+    return h.hexdigest()
+
+
+def _source_hash(name: str, _core: str | None = None) -> str:
+    """Hash of the query's defining module combined with the shared
+    data-layer core."""
+    import sys
+
+    fn = registry.QUERIES[name]
+    mod = sys.modules.get(fn.__module__)
+    mod_file = getattr(mod, "__file__", None)
+    h = hashlib.sha256()
+    h.update((_core if _core is not None else _core_hash()).encode())
+    h.update(_file_sha(mod_file).encode() if mod_file else b"nomod")
+    return h.hexdigest()
+
+
+def fixture_fingerprint(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Schema + size + mtime of every oracle-SF parquet footer — cheap
+    (metadata only) and catches silent fixture regeneration, including
+    physical-type changes like the r5 nanos->micros flip."""
+    h = hashlib.sha256()
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        try:
+            import pyarrow.parquet as pq
+
+            h.update(str(pq.read_schema(path)).encode())
+        except Exception:
+            h.update(b"noschema")
+    return h.hexdigest()
+
+
+def _load_stamps() -> dict:
+    try:
+        with open(_stamps_path()) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {"fixture": None, "stamps": {}}
+    if not isinstance(data, dict):
+        return {"fixture": None, "stamps": {}}
+    data.setdefault("fixture", None)
+    data.setdefault("stamps", {})
+    return data
 
 # The per-round verifier checks queries() in iteration order and has a
 # bounded budget (round 1 recorded rows for exactly the first 50
@@ -47,13 +128,19 @@ _MODULE_PRIORITY = [
 ]
 
 
-def _verified_green() -> set[str]:
-    """Names whose most recent CORRECTNESS_r*.json row is a non-vacuous
-    pass (hash_match, or a no_oracle row that returned rows). A
-    no_oracle row only counts while the query STILL has no oracle — a
-    query that gained an oracle since must be re-verified against it."""
-    green: set[str] = set()
+def _green_rounds() -> dict[str, int]:
+    """name -> round number of the LATEST CORRECTNESS_r*.json verdict,
+    for names whose latest verdict is a non-vacuous pass (hash_match,
+    or a no_oracle row that returned rows). A no_oracle row only counts
+    while the query STILL has no oracle — a query that gained an oracle
+    since must be re-verified against it."""
+    green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -69,15 +156,35 @@ def _verified_green() -> set[str]:
                 else bool(row.get("hash_match"))
             )
             if ok and nonempty:
-                green.add(name)
+                green[name] = rnd
             else:
-                green.discard(name)
+                green.pop(name, None)
     return green
+
+
+def _verified_green() -> set[str]:
+    """Names trusted as currently green: latest driver verdict is a
+    non-vacuous pass AND the committed stamp still matches the current
+    source hash and fixture fingerprint. A stale or missing stamp means
+    the code or data changed since verification — back to the
+    verify-first queue."""
+    green = set(_green_rounds())
+    if not green:
+        return green
+    stamps = _load_stamps()
+    if stamps["fixture"] != fixture_fingerprint():
+        return set()
+    core = _core_hash()
+    return {
+        n for n in green
+        if stamps["stamps"].get(n) == _source_hash(n, core)
+    }
 
 
 def _ordered_names() -> list[str]:
     names = list(registry.QUERIES)
     green = _verified_green()
+    green_round = _green_rounds()
     mod_rank = {m: i for i, m in enumerate(_MODULE_PRIORITY)}
 
     def module(name: str) -> str:
@@ -86,7 +193,11 @@ def _ordered_names() -> list[str]:
     reg_pos = {n: i for i, n in enumerate(names)}
     pending = [n for n in names if n not in green]
     pending.sort(key=lambda n: (mod_rank.get(module(n), -1), reg_pos[n]))
-    return pending + [n for n in names if n in green]
+    # Stalest green verdicts first: the driver's 50-query budget then
+    # continuously re-verifies the oldest greens round over round.
+    verified = [n for n in names if n in green]
+    verified.sort(key=lambda n: (green_round.get(n, 0), reg_pos[n]))
+    return pending + verified
 
 
 def entry(spark: SparkSession) -> DataFrame:
