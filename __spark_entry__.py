@@ -78,13 +78,16 @@ def _source_hash(name: str, _core: str | None = None) -> str:
 
 
 def fixture_fingerprint(sf_dir: str = ORACLE_SF_DIR) -> str:
-    """Schema + size + mtime of every oracle-SF parquet footer — cheap
+    """Name + size + pyarrow schema of every oracle-SF parquet — cheap
     (metadata only) and catches silent fixture regeneration, including
-    physical-type changes like the r5 nanos->micros flip."""
+    physical-type changes like the r5 nanos->micros flip. Deliberately
+    mtime-free: re-provisioning byte-identical fixtures must NOT void
+    the committed ledger (it would re-freeze the rotation every fresh
+    environment)."""
     h = hashlib.sha256()
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         st = os.stat(path)
-        h.update(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}".encode())
+        h.update(f"{os.path.basename(path)}:{st.st_size}".encode())
         try:
             import pyarrow.parquet as pq
 
@@ -192,7 +195,11 @@ def _ordered_names() -> list[str]:
 
     reg_pos = {n: i for i, n in enumerate(names)}
     pending = [n for n in names if n not in green]
-    pending.sort(key=lambda n: (mod_rank.get(module(n), -1), reg_pos[n]))
+    # unlisted modules rank AFTER the priority list (the listed modules
+    # are the widest still-unchecked surface and must land in-budget)
+    pending.sort(
+        key=lambda n: (mod_rank.get(module(n), len(_MODULE_PRIORITY)), reg_pos[n])
+    )
     # Stalest green verdicts first: the driver's 50-query budget then
     # continuously re-verifies the oldest greens round over round.
     verified = [n for n in names if n in green]

@@ -118,9 +118,15 @@ def _has_nanos_ts(path: str, cols: list[str]) -> bool:
             if not parts:
                 raise FileNotFoundError(path)
             probe = parts[0]
+        import pyarrow as pa
+
         schema = pq.read_schema(probe)
+        # type-based probe, not string equality: tz-aware nanos render
+        # as "timestamp[ns, tz=UTC]" and must still take the shim path
         nanos = any(
-            c in schema.names and str(schema.field(c).type) == "timestamp[ns]"
+            c in schema.names
+            and pa.types.is_timestamp(schema.field(c).type)
+            and schema.field(c).type.unit == "ns"
             for c in cols
         )
     except Exception:

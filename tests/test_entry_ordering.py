@@ -36,9 +36,23 @@ def _write_correctness(tmp_path, round_no, rows):
     return path
 
 
+def _stamp(tmp_path, monkeypatch, names, source_hash="sh"):
+    """Write a GREEN_STAMPS.json matching the monkeypatched state, so a
+    tmp-repo fixture exercises the verdict logic rather than tripping
+    the (separately tested) stamp-invalidation gate."""
+    monkeypatch.setattr(entry_mod, "fixture_fingerprint", lambda sf_dir=None: "fp")
+    monkeypatch.setattr(
+        entry_mod, "_source_hash", lambda n, core=None: source_hash
+    )
+    (tmp_path / "GREEN_STAMPS.json").write_text(
+        json.dumps({"fixture": "fp", "stamps": {n: source_hash for n in names}})
+    )
+
+
 def test_vacuous_and_failed_rows_do_not_count_as_green(tmp_path, monkeypatch):
     # A pass on 0 rows proves nothing, and a hash mismatch is a failure;
     # neither may count as verified-green (they must queue for re-check).
+    _stamp(tmp_path, monkeypatch, ["vacuous_pass", "hash_fail", "real_pass"])
     _write_correctness(tmp_path, 1, {
         "vacuous_pass": {
             "rows_match": True, "schema_match": True, "hash_match": True,
@@ -63,6 +77,7 @@ def test_vacuous_and_failed_rows_do_not_count_as_green(tmp_path, monkeypatch):
 def test_later_round_verdict_overrides_earlier(tmp_path, monkeypatch):
     # most-recent round wins in both directions: a later failure
     # un-greens an earlier pass, and a later pass greens an earlier fail
+    _stamp(tmp_path, monkeypatch, ["was_green", "was_red"])
     _write_correctness(tmp_path, 1, {
         "was_green": {"hash_match": True, "spark_rows": 5, "err": None},
         "was_red": {"hash_match": False, "spark_rows": 5, "err": None},
@@ -95,6 +110,7 @@ def test_newly_oracled_queries_are_reprioritized(tmp_path, monkeypatch):
     registry.load_all()
     oracled = next(iter(registry.ORACLES))          # has an oracle now
     oracle_less = next(n for n in registry.QUERIES if n not in registry.ORACLES)
+    _stamp(tmp_path, monkeypatch, [oracled, oracle_less])
     _write_correctness(tmp_path, 1, {
         oracled: {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
         oracle_less: {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},
@@ -103,3 +119,63 @@ def test_newly_oracled_queries_are_reprioritized(tmp_path, monkeypatch):
     green = entry_mod._verified_green()
     assert oracled not in green
     assert oracle_less in green
+
+
+def test_code_change_invalidates_stamp(tmp_path, monkeypatch):
+    # A stamped-green query whose defining module hash changed since
+    # verification must re-queue into the verify-first block — the stamp
+    # records WHEN green was earned, not a permanent pass.
+    _write_correctness(tmp_path, 1, {
+        "stable": {"hash_match": True, "spark_rows": 5, "err": None},
+        "touched": {"hash_match": True, "spark_rows": 5, "err": None},
+    })
+    monkeypatch.setattr(entry_mod, "fixture_fingerprint", lambda sf_dir=None: "fp")
+    monkeypatch.setattr(
+        entry_mod,
+        "_source_hash",
+        lambda n, core=None: "post-edit" if n == "touched" else "sh",
+    )
+    (tmp_path / "GREEN_STAMPS.json").write_text(
+        json.dumps({"fixture": "fp", "stamps": {"stable": "sh", "touched": "sh"}})
+    )
+    monkeypatch.setattr(entry_mod, "_REPO", str(tmp_path))
+    green = entry_mod._verified_green()
+    assert "stable" in green
+    assert "touched" not in green
+
+
+def test_fixture_change_voids_entire_ledger(tmp_path, monkeypatch):
+    # Regenerated fixtures invalidate every stamp at once (the r5
+    # incident: 8 queries stayed "green" across a fixture regeneration).
+    _write_correctness(tmp_path, 1, {
+        "q": {"hash_match": True, "spark_rows": 5, "err": None},
+    })
+    monkeypatch.setattr(
+        entry_mod, "fixture_fingerprint", lambda sf_dir=None: "fp-NEW"
+    )
+    monkeypatch.setattr(entry_mod, "_source_hash", lambda n, core=None: "sh")
+    (tmp_path / "GREEN_STAMPS.json").write_text(
+        json.dumps({"fixture": "fp-OLD", "stamps": {"q": "sh"}})
+    )
+    monkeypatch.setattr(entry_mod, "_REPO", str(tmp_path))
+    assert entry_mod._verified_green() == set()
+
+
+def test_priority_modules_sort_before_unlisted_when_pending(monkeypatch):
+    # Among pending queries, unlisted modules rank AFTER the priority
+    # list — tpch/relational/windows/ANN must land inside the driver's
+    # bounded verify budget first (r6 shipped this inverted).
+    registry.load_all()
+    monkeypatch.setattr(entry_mod, "_verified_green", lambda: set())
+    names = entry_mod._ordered_names()
+
+    def module(n):
+        return registry.QUERIES[n].__module__.rsplit(".", 1)[-1]
+
+    pos = {n: i for i, n in enumerate(names)}
+    tpch = [pos[n] for n in names if module(n) == "tpch_adapted"]
+    unlisted = [
+        pos[n] for n in names if module(n) not in entry_mod._MODULE_PRIORITY
+    ]
+    assert tpch and unlisted
+    assert max(tpch) < min(unlisted)

@@ -32,7 +32,7 @@ from etl_xlsx_potgres_spark import registry  # noqa: E402
 def _passing_names(sweep: dict) -> list[str]:
     names = []
     for name, row in sweep.items():
-        if not isinstance(row, dict) or row.get("vacuous"):
+        if name == "_meta" or not isinstance(row, dict) or row.get("vacuous"):
             continue
         if row.get("err") == "no_oracle":
             if name not in registry.ORACLES and (row.get("spark_rows") or 0) > 0:
@@ -40,6 +40,25 @@ def _passing_names(sweep: dict) -> list[str]:
         elif row.get("hash_match"):
             names.append(name)
     return names
+
+
+def _filter_stale(names: list[str], meta: dict) -> list[str]:
+    """Drop names whose source or fixtures changed since the sweep ran —
+    stamping them would mark unverified code green, the exact hazard the
+    ledger exists to prevent."""
+    if meta.get("fixture") != entry_mod.fixture_fingerprint():
+        print("REFUSING all: oracle-SF fixtures changed since the sweep "
+              "(or the sweep ran at a different --sf); re-run strict_check")
+        return []
+    swept = meta.get("source_hashes", {})
+    fresh, stale = [], []
+    for n in names:
+        (fresh if swept.get(n) == entry_mod._source_hash(n) else stale).append(n)
+    if stale:
+        print(f"REFUSING {len(stale)} names whose source changed since the "
+              f"sweep: {', '.join(sorted(stale)[:10])}"
+              f"{'…' if len(stale) > 10 else ''}")
+    return fresh
 
 
 def main() -> int:
@@ -52,7 +71,14 @@ def main() -> int:
     registry.load_all()
     if args.from_sweep:
         with open(args.from_sweep) as f:
-            names = _passing_names(json.load(f))
+            sweep = json.load(f)
+        names = _passing_names(sweep)
+        if "_meta" in sweep:
+            names = _filter_stale(names, sweep["_meta"])
+        else:
+            print("warning: sweep has no _meta (old strict_check?) — "
+                  "stamping against CURRENT state; ensure nothing changed "
+                  "since the sweep ran")
     elif args.names:
         names = [n.strip() for n in args.names.split(",") if n.strip()]
     else:

@@ -226,8 +226,17 @@ def main() -> int:
     n_vac = sum(1 for r in results.values() if r.get("vacuous"))
     print(f"TOTAL {len(results)} checked, {n_fail} failing, {n_vac} vacuous")
     if args.out:
+        # Record the repo/fixture state the verdicts were earned
+        # against, so tools/stamp_green.py can refuse to stamp a name
+        # whose source or fixtures changed between sweep and stamping.
+        out = dict(results)
+        out["_meta"] = {
+            "sf": args.sf,
+            "fixture": entry_mod.fixture_fingerprint(args.sf),
+            "source_hashes": {n: entry_mod._source_hash(n) for n in results},
+        }
         with open(args.out, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(out, f, indent=1)
     return 0
 
 
