@@ -370,7 +370,7 @@ def _broadcast_threshold_bytes(spark: SparkSession) -> int:
     raw = str(
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     ).strip().lower()
-    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
     for suffix, mult in units.items():
         for s in (suffix + "b", suffix):
             if raw.endswith(s):

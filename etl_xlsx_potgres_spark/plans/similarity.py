@@ -133,8 +133,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = emb.select("vec_id", F.col("embedding").alias("vv"))
     cosine = _dot("qv", "vv") / (_norm("qv") * _norm("vv"))
+    # exact baseline is inherently O(queries x corpus); broadcast the
+    # corpus side only while it is actually small (local test SFs) —
+    # a hard-coded corpus broadcast OOMs every executor at scale
+    from .dedup_fuzzy import _size_aware_broadcast
+
     scored = (
-        q.join(F.broadcast(v), F.col("qid") != F.col("vec_id"))
+        q.join(
+            _size_aware_broadcast(spark, sf_dir, v),
+            F.col("qid") != F.col("vec_id"),
+        )
         .select("qid", "vec_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")

@@ -179,7 +179,7 @@ def contamination_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = shingles_long(d, "text", 5).distinct()
     split = d.select("doc_id", "split")
-    grams = grams.join(F.broadcast(split), "doc_id")
+    grams = grams.join(split, "doc_id")
     te = grams.filter(F.col("split") == "test").select(
         F.col("doc_id").alias("test_doc"), "s"
     )

@@ -142,6 +142,71 @@ def test_embedding_lsh_joins_on_band_keys(spark, sf_dir):
     assert "bk" in plan  # band key is a join/partition key in the plan
 
 
+def test_no_hardcoded_broadcast_of_scaling_frames():
+    """`F.broadcast` hints in plans/ are reserved for frames that stay
+    small at ANY scale factor: nation/region dims, scalar aggregates,
+    codebooks, and PageRank's per-iteration rank vector. A hint on
+    customer/supplier/part/documents/embeddings-derived frames forces
+    an executor OOM at 100x data — those joins must be left to AQE
+    (which still broadcasts them at small SF) or routed through
+    `_size_aware_broadcast`."""
+    import pathlib
+    import re
+
+    allowed = {
+        "n", "n1", "n2", "r",            # nation/region dims (fixed 5/25 rows)
+        "top", "total", "avg_bal",       # single-row scalar aggregates
+        "cents",                          # IVF codebook (16 rows)
+        "ranks", "out_deg",               # PageRank iteration state (|V| rows,
+                                          # deliberate: documented in graph_iterative)
+        "frame",                          # _size_aware_broadcast's own guarded hint
+    }
+    pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
+    # capture the leading identifier chain of the hinted frame
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)")
+    offenders = []
+    for path in sorted(pkg.glob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            m = pat.search(line)
+            if not m:
+                continue
+            arg = m.group(1)
+            # region filtered inline is still the 5-row dim
+            if arg in allowed or arg.startswith("r.filter"):
+                continue
+            offenders.append(f"{path.name}:{i}: F.broadcast({arg}…)")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_broadcast_threshold_parses_all_size_suffixes():
+    from etl_xlsx_potgres_spark.plans.dedup_fuzzy import _broadcast_threshold_bytes
+
+    class FakeConf:
+        def __init__(self, v):
+            self.v = v
+
+        def get(self, key, default=None):
+            return self.v
+
+    class FakeSpark:
+        def __init__(self, v):
+            self.conf = FakeConf(v)
+
+    cases = {
+        "10485760": 10485760,
+        "10m": 10 << 20,
+        "10MB": 10 << 20,
+        "1g": 1 << 30,
+        "512k": 512 << 10,
+        "1t": 1 << 40,
+        "1tb": 1 << 40,
+        "2p": 2 << 50,
+        "-1": -1,
+    }
+    for raw, want in cases.items():
+        assert _broadcast_threshold_bytes(FakeSpark(raw)) == want, raw
+
+
 def test_surrogate_ids_avoid_single_partition_sort(spark, sf_dir):
     """Scalable id assignment: the data path must be a range
     repartition, not an Exchange SinglePartition of the whole table
