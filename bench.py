@@ -7,6 +7,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is executed to completion through the `noop` sink so the
 full distributed plan runs without a driver-side collect.
+
+Stability: the whole suite runs $SPARK_GRAFT_BENCH_RUNS (default 3)
+full passes in a pinned order and reports the per-query MEDIAN —
+single-sample wall times on a shared box swing several x run-to-run
+(the r4->r6 "regressions" on unchanged dedup code), and medians make
+round-over-round deltas attributable to code, not scheduler noise.
+Raw per-pass samples land in BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -14,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -87,22 +95,26 @@ def main() -> None:
     spark.range(1).count()
     warm = time.perf_counter() - t0
 
-    times: dict[str, float] = {}
-    for name in names:
-        df = registry.QUERIES[name](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # queries are independent; drop any caches a query pinned so
-        # memory pressure (GC storms) from one can't distort the next
-        spark.catalog.clearCache()
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:  # pinned order every pass
+            df = registry.QUERIES[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            # queries are independent; drop any caches a query pinned so
+            # memory pressure (GC storms) from one can't distort the next
+            spark.catalog.clearCache()
+    times = {n: round(statistics.median(v), 3) for n, v in samples.items()}
 
     # Apples-to-apples with BASELINE.md: the reference's transform
     # stage (1200-row workbook clean+dedup, measured 22.31s there)
     # re-run through this engine's pipeline, including the fan-out to
     # all four normalized outputs the reference computes.
-    ref_equiv = _reference_equivalent_sec(spark)
-    times["reference_pipeline_1200rows"] = ref_equiv
+    ref_samples = [_reference_equivalent_sec(spark) for _ in range(n_runs)]
+    samples["reference_pipeline_1200rows"] = ref_samples
+    times["reference_pipeline_1200rows"] = round(statistics.median(ref_samples), 3)
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -113,6 +125,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(times),
         "warmup_sec": round(warm, 3),
+        "bench_runs": n_runs,
+        "stat": "median",
     }
 
     # Full per-query detail always lands next to this script; the
@@ -121,7 +135,7 @@ def main() -> None:
     # JSON), so trim the inline map to the slowest queries as needed.
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+        json.dump({**payload, "samples": samples}, f, indent=1, sort_keys=True)
 
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1700:

@@ -83,8 +83,12 @@ def continuous_aggregate_writer(path: str, bucket: str = "1 day"):
                 raise
             merged = partial
         else:
-            touched = [r["bucket"] for r in partial.select("bucket").distinct().collect()]
-            relevant = existing.filter(F.col("bucket").isin(touched))
+            # scope the read-back to the buckets this batch touched,
+            # executor-side: a semi join against the batch's (tiny,
+            # auto-broadcast) bucket set. Collecting the bucket list to
+            # the driver would serialize every micro-batch through it.
+            touched = partial.select("bucket").distinct()
+            relevant = existing.join(touched, "bucket", "left_semi")
             merged = (
                 relevant.unionByName(partial)
                 .groupBy("bucket", "event_type")
