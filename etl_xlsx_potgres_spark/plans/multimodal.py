@@ -65,6 +65,41 @@ def mm_decode_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(d)
 
 
+# REAL decode, end to end: Spark synthesizes a genuine binary-PPM
+# payload per document (2x2 RGB, every pixel byte = doc_id % 128 —
+# chr() of 0..127 is a single UTF-8 byte, so the binary plane is
+# byte-exact), then operators/multimodal.decode_image_real actually
+# parses it (PIL when importable, stdlib PNM parser otherwise — both
+# yield identical dimensions/means, so the oracle is codec-agnostic).
+# Differentially proves the real-decode mapInPandas stage: container
+# parsing, Arrow batch shape, and the pixel statistics math.
+@register(
+    "mm_decode_image_real",
+    oracle="""
+    SELECT doc_id,
+           2 AS width, 2 AS height, 3 AS channels,
+           CAST(doc_id % 128 AS DOUBLE) AS pixel_mean,
+           CAST(11 + 12 AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_real
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n2 2\n255\n"), "UTF-8"),
+            F.encode(
+                F.repeat(F.expr("char(CAST(doc_id % 128 AS INT))"), 12), "UTF-8"
+            ),
+        ).alias("payload"),
+    )
+    return decode_image_real(d).select(
+        "doc_id", "width", "height", "channels", "pixel_mean", "n_bytes"
+    )
+
+
 # Asset sampling downstream of the decode stage: deterministic ~1/10
 # md5-threshold sample of decoded assets (operators/multimodal.
 # frame_sample). The filter is a scan-pushable expression over the

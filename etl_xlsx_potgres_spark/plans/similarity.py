@@ -239,8 +239,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with approxSimilarityJoin — the library path when the pipeline
 # already uses Spark ML. Seeded, so results are reproducible run to
 # run, but the hash family is JVM-internal (not portable to the SQL
-# oracle) — rows-only check + the distance/recall pytest.
-@register("ann_ml_brp_lsh", oracle=None)
+# oracle) — so the query verifies itself with a RECALL bound: it also
+# computes the exact euclidean top-k within the same radius (brute
+# force, query side broadcast) and emits one (qid, recall_ok) row per
+# query where recall_ok := |lsh_candidates ∩ exact_topk| >= 60% of
+# |exact_topk|. The oracle enumerates the query ids and expects TRUE
+# for every one — an LSH recall collapse becomes a hash mismatch.
+# (Measured recall is 1.0 at every test SF; 0.6 leaves head-room for
+# seed-sensitivity without accepting a broken index.)
+BRP_RADIUS = 1.2
+BRP_MIN_RECALL = 0.6
+
+
+@register(
+    "ann_ml_brp_lsh",
+    oracle=f"""
+    SELECT vec_id AS qid, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {N_QUERIES}
+    ORDER BY qid
+    """,
+)
 def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -256,15 +274,59 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = lsh.fit(emb)
     pairs = model.approxSimilarityJoin(
-        queries.withColumnRenamed("qv", "v"), emb, 1.2, distCol="dist"
+        queries.withColumnRenamed("qv", "v"), emb, BRP_RADIUS, distCol="dist"
+    )
+    cand = pairs.filter(F.col("datasetA.qid") != F.col("datasetB.vec_id")).select(
+        F.col("datasetA.qid").alias("qid"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+    )
+
+    # independent exact baseline: euclidean top-k within the radius.
+    # 10-row query side -> planner broadcasts it into a nested-loop
+    # scan of the corpus; the corpus itself is never broadcast.
+    raw = load_table(spark, sf_dir, "embeddings")
+    q = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    v = raw.select("vec_id", F.col("embedding").alias("vv"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "qv", "vv",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    exact = (
+        q.join(v, F.col("qid") != F.col("vec_id"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= BRP_RADIUS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    n_exact = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = (
+        exact.join(cand, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_found"))
     )
     return (
-        pairs.filter(F.col("datasetA.qid") != F.col("datasetB.vec_id"))
+        q.select("qid")
+        .join(n_exact, "qid", "left")
+        .join(n_found, "qid", "left")
         .select(
-            F.col("datasetA.qid").alias("qid"),
-            F.col("datasetB.vec_id").alias("vec_id"),
-            F.col("dist"),
+            "qid",
+            (
+                F.coalesce("n_found", F.lit(0))
+                >= BRP_MIN_RECALL * F.coalesce("n_exact", F.lit(0))
+            ).alias("recall_ok"),
         )
+        .orderBy("qid")
     )
 
 

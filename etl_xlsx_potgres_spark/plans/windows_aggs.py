@@ -300,18 +300,60 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate aggregates — no exact oracle by construction; the driver
-# records the rows-only check, and the paired exact query above is the
-# semantic anchor. These are the 100 TB path (fixed-size sketches, no
-# distinct shuffle).
-@register("agg_approx_sketches", oracle=None)
+# Approximate aggregates, bound-style oracle: sketch outputs have no
+# exact SQL twin by construction, so the query verifies ITSELF — it
+# computes the HLL/approx-percentile sketches AND the exact answers in
+# one pass, and emits (exact counts, within-tolerance booleans). The
+# DuckDB oracle recomputes the exact counts independently and expects
+# literal TRUE for every bound, so a sketch drifting outside tolerance
+# becomes a hash mismatch, not an unverifiable rows-only row. Bounds:
+# HLL default rsd is 5% -> 10% tolerance; approx_percentile accuracy
+# 1000 bounds rank error ~0.1% -> +-5pp rank window. The sketches are
+# the 100 TB path (fixed-size state, no distinct shuffle).
+@register(
+    "agg_approx_sketches",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS parts_within_10pct, TRUE AS supps_within_10pct,
+           TRUE AS p50_rank_ok, TRUE AS p95_rank_ok
+    FROM lineitem
+    """,
+)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    sk = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50_price"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95_price"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("ap95"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # second pass ranks the approx percentiles in the true distribution
+    return (
+        li.crossJoin(F.broadcast(sk))
+        .agg(
+            F.first("exact_parts").alias("exact_parts"),
+            F.first("exact_supps").alias("exact_supps"),
+            (
+                F.abs(F.first("approx_parts") - F.first("exact_parts"))
+                <= 0.10 * F.first("exact_parts")
+            ).alias("parts_within_10pct"),
+            (
+                F.abs(F.first("approx_supps") - F.first("exact_supps"))
+                <= 0.10 * F.first("exact_supps")
+            ).alias("supps_within_10pct"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long"))
+                / F.first("n")
+            ).between(0.45, 0.55).alias("p50_rank_ok"),
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("ap95")).cast("long"))
+                / F.first("n")
+            ).between(0.93, 0.97).alias("p95_rank_ok"),
+        )
     )
 
 

@@ -96,11 +96,10 @@ def test_queries_and_oracles_share_names():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # oracle-less queries are the documented non-SQL-expressible set
-    assert {n for n in q if n not in o} == {
-        "ann_ml_brp_lsh",
-        "agg_approx_sketches",
-    }
+    # every registered query now carries an oracle (the two formerly
+    # rows-only sketch/ML-LSH queries verify themselves via bound-style
+    # verdict columns the oracle expects to be TRUE)
+    assert {n for n in q if n not in o} == set()
 
 
 def test_newly_oracled_queries_are_reprioritized(tmp_path, monkeypatch):

@@ -1,0 +1,102 @@
+"""decode_image_real: the pure-stdlib container parsers (binary PNM,
+uncompressed BMP) and the Arrow-batched mapInPandas stage over them.
+PIL coverage is import-gated — absent in this container, the stdlib
+path is the one under test (and the one the oracle-checked
+mm_decode_image_real query exercises)."""
+
+from __future__ import annotations
+
+import importlib.util
+import struct
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from etl_xlsx_potgres_spark.operators.multimodal import (  # noqa: E402
+    _decode_bmp,
+    _decode_pnm,
+    decode_image_payload,
+    decode_image_real,
+)
+
+
+def make_ppm(width, height, pixel_bytes, comment=False):
+    mid = "# c\n" if comment else ""
+    header = f"P6\n{mid}{width} {height}\n255\n"
+    return header.encode() + bytes(pixel_bytes)
+
+
+def make_bmp(width, height, channels, pixel_rows):
+    """Minimal uncompressed BMP: 14-byte file header + 40-byte info
+    header + bottom-up padded rows."""
+    stride = ((width * channels + 3) // 4) * 4
+    data = b"".join(
+        bytes(row) + b"\x00" * (stride - width * channels) for row in pixel_rows
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, channels * 8, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def test_pnm_p6_dimensions_and_mean():
+    w, h, c, mean, codec = _decode_pnm(make_ppm(2, 2, range(12)))
+    assert (w, h, c) == (2, 2, 3)
+    assert mean == sum(range(12)) / 12
+    assert codec == "pnm"
+
+
+def test_pnm_header_comment_and_p5():
+    payload = b"P5\n# comment line\n3 1\n255\n" + bytes([10, 20, 30])
+    w, h, c, mean, codec = _decode_pnm(payload)
+    assert (w, h, c, mean) == (3, 1, 1, 20.0)
+
+
+def test_pnm_truncated_raises():
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_pnm(make_ppm(4, 4, range(10)))  # needs 48 bytes
+
+
+def test_bmp_24bit_bottom_up_padding():
+    # 3x2 24-bit: stride pads 9-byte rows to 12; padding bytes must not
+    # leak into the mean
+    rows = [[1] * 9, [3] * 9]
+    w, h, c, mean, codec = _decode_bmp(make_bmp(3, 2, 3, rows))
+    assert (w, h, c) == (3, 2, 3)
+    assert mean == 2.0
+    assert codec == "bmp"
+
+
+def test_bmp_8bit():
+    w, h, c, mean, _ = _decode_bmp(make_bmp(4, 1, 1, [[0, 10, 20, 30]]))
+    assert (w, h, c, mean) == (4, 1, 1, 15.0)
+
+
+def test_unsupported_format_raises():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        decode_image_payload(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_decode_image_real_mapinpandas(spark):
+    df = spark.createDataFrame(
+        [(1, make_ppm(2, 2, [8] * 12)), (2, make_bmp(2, 2, 3, [[4] * 6] * 2))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in decode_image_real(df).collect()}
+    assert out[1]["width"] == 2 and out[1]["pixel_mean"] == 8.0
+    assert out[1]["codec"] in ("pnm", "pil")
+    assert out[2]["channels"] == 3 and out[2]["pixel_mean"] == 4.0
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None, reason="PIL not installed"
+)
+def test_pil_path_matches_stdlib():
+    payload = make_ppm(2, 2, range(12))
+    w, h, c, mean, codec = decode_image_payload(payload)
+    assert (w, h, c, mean) == (2, 2, 3, sum(range(12)) / 12)
+    assert codec == "pil"

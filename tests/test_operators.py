@@ -202,16 +202,17 @@ def test_file_format_roundtrip(spark, sf_dir, tmp_path):
     assert n_files <= 4
 
 
-def test_ml_brp_lsh_distances_valid(spark, sf_dir):
-    """Every approxSimilarityJoin pair is within the distance
-    threshold, and the exact nearest euclidean neighbor of each query
-    is found when it lies inside the radius."""
+def test_ml_brp_lsh_recall_verdicts(spark, sf_dir):
+    """The self-verifying BRP-LSH query emits one verdict row per query
+    vector, and the LSH candidate set reaches the recall bound against
+    the exact euclidean top-k on every one."""
+    from etl_xlsx_potgres_spark.plans.similarity import N_QUERIES
     from etl_xlsx_potgres_spark.registry import QUERIES, load_all
 
     load_all()
-    pairs = QUERIES["ann_ml_brp_lsh"](spark, sf_dir).toPandas()
-    assert (pairs["dist"] <= 1.2).all()
-    assert pairs.groupby("qid").size().min() >= 1
+    verdicts = QUERIES["ann_ml_brp_lsh"](spark, sf_dir).toPandas()
+    assert len(verdicts) == N_QUERIES
+    assert verdicts["recall_ok"].all()
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
