@@ -322,38 +322,47 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # pass 1: sketches only — no countDistinct here, so the agg stays
+    # expand-free (fixed-size sketch state, one partial-agg shuffle)
     sk = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
         F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("ap95"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_suppkey").alias("exact_supps"),
         F.count(F.lit(1)).alias("n"),
     )
-    # second pass ranks the approx percentiles in the true distribution
-    return (
+    # pass 2 (the verification side): exact distincts AND the rank
+    # positions of the approx percentiles, in ONE agg over li joined
+    # with the 1-row sketch frame
+    m = (
         li.crossJoin(F.broadcast(sk))
         .agg(
-            F.first("exact_parts").alias("exact_parts"),
-            F.first("exact_supps").alias("exact_supps"),
-            (
-                F.abs(F.first("approx_parts") - F.first("exact_parts"))
-                <= 0.10 * F.first("exact_parts")
-            ).alias("parts_within_10pct"),
-            (
-                F.abs(F.first("approx_supps") - F.first("exact_supps"))
-                <= 0.10 * F.first("exact_supps")
-            ).alias("supps_within_10pct"),
-            (
-                F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long"))
-                / F.first("n")
-            ).between(0.45, 0.55).alias("p50_rank_ok"),
-            (
-                F.sum((F.col("l_extendedprice") <= F.col("ap95")).cast("long"))
-                / F.first("n")
-            ).between(0.93, 0.97).alias("p95_rank_ok"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+            F.first("approx_parts").alias("approx_parts"),
+            F.first("approx_supps").alias("approx_supps"),
+            F.sum((F.col("l_extendedprice") <= F.col("ap50")).cast("long")).alias(
+                "le_p50"
+            ),
+            F.sum((F.col("l_extendedprice") <= F.col("ap95")).cast("long")).alias(
+                "le_p95"
+            ),
+            F.first("n").alias("n"),
         )
+    )
+    return m.select(
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.10 * F.col("exact_parts")
+        ).alias("parts_within_10pct"),
+        (
+            F.abs(F.col("approx_supps") - F.col("exact_supps"))
+            <= 0.10 * F.col("exact_supps")
+        ).alias("supps_within_10pct"),
+        (F.col("le_p50") / F.col("n")).between(0.45, 0.55).alias("p50_rank_ok"),
+        (F.col("le_p95") / F.col("n")).between(0.93, 0.97).alias("p95_rank_ok"),
     )
 
 

@@ -108,7 +108,10 @@ def test_newly_oracled_queries_are_reprioritized(tmp_path, monkeypatch):
     # is still legitimately oracle-less keeps its rows-only green
     registry.load_all()
     oracled = next(iter(registry.ORACLES))          # has an oracle now
-    oracle_less = next(n for n in registry.QUERIES if n not in registry.ORACLES)
+    # every registered query carries an oracle these days — simulate a
+    # legitimately oracle-less one by hiding a real query's oracle
+    oracle_less = next(n for n in registry.QUERIES if n != oracled)
+    monkeypatch.delitem(registry.ORACLES, oracle_less)
     _stamp(tmp_path, monkeypatch, [oracled, oracle_less])
     _write_correctness(tmp_path, 1, {
         oracled: {"hash_match": None, "spark_rows": 7, "err": "no_oracle"},

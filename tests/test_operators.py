@@ -69,7 +69,12 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     assert (m1.width % 16 == 0).all() and m1.channels.between(1, 4).all()
 
 
-def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
+def test_multimodal_real_decode_rejects_non_images(spark, sf_dir):
+    """decode_image_real is a REAL decoder now (stdlib PNM/BMP, PIL
+    when importable): feeding it non-image payloads must fail loudly,
+    not fake metadata. The happy path lives in
+    tests/test_multimodal_decode.py and the mm_decode_image_real
+    oracle query."""
     import pytest
 
     from etl_xlsx_potgres_spark.operators.multimodal import (
@@ -78,8 +83,8 @@ def test_multimodal_real_decode_is_stubbed(spark, sf_dir):
     )
 
     d = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(NotImplementedError):
-        decode_image_real(d)
+    with pytest.raises(Exception, match="unsupported image format"):
+        decode_image_real(d).collect()
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
