@@ -205,6 +205,81 @@ def decode_image_real(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, IMAGE_DECODE_SCHEMA)
 
 
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, channels int, "
+    "sample_width int, n_frames long, duration_sec double, rms double"
+)
+
+
+def wav_header(n_frames: int, rate: int = 8000, channels: int = 1,
+               sampwidth: int = 2) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for a raw PCM payload —
+    used by tests and by plans that synthesize audio payloads."""
+    import struct
+
+    data_len = n_frames * channels * sampwidth
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate,
+            rate * channels * sampwidth, channels * sampwidth, sampwidth * 8,
+        )
+        + b"data" + struct.pack("<I", data_len)
+    )
+
+
+def decode_audio_payload(payload: bytes) -> tuple[int, int, int, int, float, float]:
+    """Decode one WAV payload to (sample_rate, channels, sample_width,
+    n_frames, duration_sec, rms) — pure stdlib (`wave`), PCM 8/16-bit."""
+    import array
+    import io
+    import math
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        frames = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = array.array("h")
+        samples.frombytes(frames)
+    elif sampwidth == 1:
+        # 8-bit WAV is unsigned, centered at 128
+        samples = array.array("i", (b - 128 for b in frames))
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    rms = (
+        math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+    )
+    return rate, channels, sampwidth, n_frames, n_frames / rate, rms
+
+
+def decode_audio_real(df: DataFrame) -> DataFrame:
+    """Real audio decode over the binary column — Arrow-batched
+    ``mapInPandas``, same contract as ``decode_image_real``. WAV/PCM
+    needs no codec library; compressed containers (mp3/ogg/flac) would
+    slot into the same batch loop behind an import gate."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                rate, ch, sw, nf, dur, rms = decode_audio_payload(payload)
+                rows.append((doc_id, len(payload), rate, ch, sw, nf, dur, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "sample_rate", "channels",
+                    "sample_width", "n_frames", "duration_sec", "rms",
+                ],
+            )
+
+    return df.mapInPandas(extract, AUDIO_DECODE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Deterministic ~1/n frame/asset sampling: keep an asset iff its
     content-md5 prefix clears a hex threshold — a pure Catalyst

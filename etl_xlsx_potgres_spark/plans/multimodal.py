@@ -100,6 +100,45 @@ def mm_decode_image_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL audio decode: Spark synthesizes a genuine 16-bit PCM WAV per
+# document — the 44-byte RIFF header is constant for fixed
+# (frames, rate, channels) and ships as an unbase64 literal; the
+# sample plane is 4 frames of value doc_id % 128 (low byte = value,
+# high byte = 0, both chr()-safe single UTF-8 bytes). The stdlib
+# `wave` parser in operators/multimodal.decode_audio_real reads it
+# back, so dims and RMS (= the constant sample value, exactly) are
+# differentially provable.
+@register(
+    "mm_decode_audio_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(44 + 8 AS BIGINT) AS n_bytes,
+           8000 AS sample_rate, 1 AS channels, 2 AS sample_width,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(4 AS DOUBLE) / 8000 AS duration_sec,
+           CAST(doc_id % 128 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def mm_decode_audio_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+
+    from ..operators.multimodal import decode_audio_real, wav_header
+
+    header_b64 = base64.b64encode(wav_header(n_frames=4)).decode()
+    sample = F.concat(
+        F.expr("char(CAST(doc_id % 128 AS INT))"), F.expr("char(0)")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.unbase64(F.lit(header_b64)),
+            F.encode(F.repeat(sample, 4), "UTF-8"),
+        ).alias("payload"),
+    )
+    return decode_audio_real(d)
+
+
 # Asset sampling downstream of the decode stage: deterministic ~1/10
 # md5-threshold sample of decoded assets (operators/multimodal.
 # frame_sample). The filter is a scan-pushable expression over the

@@ -92,6 +92,48 @@ def test_decode_image_real_mapinpandas(spark):
     assert out[2]["channels"] == 3 and out[2]["pixel_mean"] == 4.0
 
 
+def test_wav_decode_roundtrip():
+    import math
+
+    from etl_xlsx_potgres_spark.operators.multimodal import (
+        decode_audio_payload,
+        wav_header,
+    )
+
+    samples = [100, -100, 50, -50]
+    payload = wav_header(n_frames=4) + b"".join(
+        s.to_bytes(2, "little", signed=True) for s in samples
+    )
+    rate, ch, sw, nf, dur, rms = decode_audio_payload(payload)
+    assert (rate, ch, sw, nf) == (8000, 1, 2, 4)
+    assert dur == 4 / 8000
+    assert rms == math.sqrt(sum(s * s for s in samples) / 4)
+
+
+def test_wav_decode_rejects_unsupported_width():
+    from etl_xlsx_potgres_spark.operators.multimodal import (
+        decode_audio_payload,
+        wav_header,
+    )
+
+    payload = wav_header(n_frames=1, sampwidth=4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="sample width"):
+        decode_audio_payload(payload)
+
+
+def test_decode_audio_real_mapinpandas(spark):
+    from etl_xlsx_potgres_spark.operators.multimodal import (
+        decode_audio_real,
+        wav_header,
+    )
+
+    payload = wav_header(n_frames=2) + (7).to_bytes(2, "little") * 2
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    row = decode_audio_real(df).collect()[0]
+    assert row["sample_rate"] == 8000 and row["n_frames"] == 2
+    assert row["rms"] == 7.0
+
+
 @pytest.mark.skipif(
     importlib.util.find_spec("PIL") is None, reason="PIL not installed"
 )
