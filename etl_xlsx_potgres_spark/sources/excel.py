@@ -16,10 +16,11 @@ Engine posture:
   landing-dir model maps to a Structured Streaming file source for
   continuous ingest (see streaming/).
 
-openpyxl is not installed in this runtime; every entry point is
-import-gated with a clear error, and the pipeline is tested from the
-DataFrame boundary (tests/test_pipeline.py builds the FIXTURES.md A1
-synthetic clone directly).
+Reading does NOT require openpyxl: when it (or pandas.read_excel's
+engine) is absent, the pure-stdlib OOXML parser in ``xlsx_stdlib``
+(zipfile + ElementTree; shared strings, inline strings, date-style
+serial decoding) serves the same entry points, so the whole
+xlsx -> Spark path runs in codec-less environments too.
 """
 
 from __future__ import annotations
@@ -30,16 +31,16 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from . import xlsx_stdlib
 
-def _require_pandas_excel():
+
+def _have_openpyxl() -> bool:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "xlsx reading requires openpyxl, which is not installed in "
-            "this runtime; convert workbooks to parquet at the edge "
-            "(convert_to_parquet) or install openpyxl"
-        ) from exc
+
+        return True
+    except ImportError:
+        return False
 
 
 def validate_intake(path: str, landing_dir: str) -> str:
@@ -57,10 +58,11 @@ def validate_intake(path: str, landing_dir: str) -> str:
 
 def sheet_names(path: str) -> list[str]:
     """Workbook sheet enumeration (importador.py:33-34)."""
-    _require_pandas_excel()
-    import pandas as pd
+    if _have_openpyxl():
+        import pandas as pd
 
-    return pd.ExcelFile(path).sheet_names
+        return pd.ExcelFile(path).sheet_names
+    return xlsx_stdlib.sheet_names(path)
 
 
 def read_workbook(
@@ -72,10 +74,13 @@ def read_workbook(
     """One sheet -> Spark DataFrame. Declared schema strongly
     recommended; without it the pandas dtypes are converted via Arrow
     (still a single inference, not the reference's double one)."""
-    _require_pandas_excel()
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet)
+    if _have_openpyxl():
+        pdf = pd.read_excel(path, sheet_name=sheet)
+    else:
+        headers, rows = xlsx_stdlib.read_rows(path, sheet)
+        pdf = pd.DataFrame(rows, columns=headers)
     if schema is not None:
         return spark.createDataFrame(pdf, schema=schema)
     return spark.createDataFrame(pdf)
@@ -83,11 +88,12 @@ def read_workbook(
 
 def preview(spark: SparkSession, path: str, n: int = 5) -> dict[str, list]:
     """First n rows of every sheet (importador.py:33-42)."""
-    _require_pandas_excel()
-    import pandas as pd
+    if _have_openpyxl():
+        import pandas as pd
 
-    xl = pd.ExcelFile(path)
-    return {s: xl.parse(s).head(n).to_dict("records") for s in xl.sheet_names}
+        xl = pd.ExcelFile(path)
+        return {s: xl.parse(s).head(n).to_dict("records") for s in xl.sheet_names}
+    return xlsx_stdlib.preview_rows(path, n)
 
 
 def convert_to_parquet(
