@@ -102,6 +102,72 @@ def test_excel_source_end_to_end_without_openpyxl(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
 
 
+def test_reference_pipeline_from_actual_xlsx_file(spark, tmp_path):
+    """The reference's full journey from a genuine .xlsx FILE: write
+    the 1200-row FIXTURES.md A1 workbook clone as real OOXML, ingest
+    it through excel.read_workbook, run the transform, and get the
+    same observable outcomes as the DataFrame-boundary tests
+    (1198 rows after keyed dedup, matching key set)."""
+    import datetime
+
+    from etl_xlsx_potgres_spark.pipelines import transform
+
+    # rebuild the clone rows (the fixture is module-scoped to its file)
+    n = 1200
+    headers = [
+        "Nome/Razão Social", "Nome Fantasia", "CPF/CNPJ", "Data Nasc.",
+        "Data Cadastro cliente", "Celulares", "Telefones", "Emails",
+        "Endereço", "Número", "Complemento", "Bairro", "CEP", "Cidade",
+        "UF", "Plano", "Plano Valor", "Vencimento", "Status", "Isento",
+    ]
+    rows = []
+    for i in range(n):
+        rows.append([
+            f"Cliente {i}", None, f"{i:09d}-{i % 97:02d}",
+            datetime.datetime(1980, 1, 1) + datetime.timedelta(days=i * 7)
+            if i % 3 else None,
+            datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i),
+            5581000000000.0 + i if i % 9 else None,
+            8133330000.0 + i if i % 2 else None,
+            f"c{i}@example.com" if i % 11 else None,
+            f"Rua {i}", str(i), None if i % 5 else "fundos", "Centro",
+            f"50000-{i % 1000:03d}", "Recife",
+            None if i % 100 == 7 else "Pernambuco",
+            None if i % 200 == 3 else f"PLANO_{i % 16}",
+            99.9 + (i % 16), [5, 10, 15, 20, 25][i % 5],
+            "Velocidade Reduzida" if i % 10 else "Ativo",
+            "Sim" if i % 300 == 0 else None,
+        ])
+    rows[500][2] = rows[100][2]
+    rows[900][2] = rows[200][2]
+
+    src = str(tmp_path / "clientes_1200.xlsx")
+    xlsx_stdlib.write_xlsx(src, headers, rows)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(h, t)
+            for h, t in zip(
+                headers,
+                [T.StringType(), T.StringType(), T.StringType(),
+                 T.TimestampType(), T.TimestampType(), T.DoubleType(),
+                 T.DoubleType(), T.StringType(), T.StringType(),
+                 T.StringType(), T.StringType(), T.StringType(),
+                 T.StringType(), T.StringType(), T.StringType(),
+                 T.StringType(), T.DoubleType(), T.LongType(),
+                 T.StringType(), T.StringType()],
+            )
+        ]
+    )
+    df = excel.read_workbook(spark, src, schema=schema)
+    assert df.count() == 1200
+    cleaned = transform(df)
+    assert cleaned.count() == 1198  # keyed dedup, BASELINE.md outcome
+    keys = {r["cpf_cnpj"] for r in cleaned.select("cpf_cnpj").collect()}
+    assert len(keys) == 1198
+
+
 def test_unknown_sheet_raises(tmp_path):
     p = str(tmp_path / "t.xlsx")
     xlsx_stdlib.write_xlsx(p, ["a"], [[1]])
