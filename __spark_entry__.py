@@ -39,12 +39,20 @@ def _stamps_path() -> str:
     return os.path.join(_REPO, "GREEN_STAMPS.json")
 
 # Changes to these invalidate EVERY stamp: they sit under all queries
-# (table readers, the decimal-sum policy, session tuning, the registry).
+# (session tuning, the registry, and every shared-layer package a plan
+# can call into — operators, sources, functions, streaming,
+# pipelines). Coarse on purpose: a shared-layer edit the ledger missed
+# is exactly the round-5 stale-verdict incident again.
 _CORE_FILES = (
-    "etl_xlsx_potgres_spark/sources/tables.py",
-    "etl_xlsx_potgres_spark/functions/numeric.py",
     "etl_xlsx_potgres_spark/session.py",
     "etl_xlsx_potgres_spark/registry.py",
+)
+_CORE_PACKAGES = (
+    "etl_xlsx_potgres_spark/operators",
+    "etl_xlsx_potgres_spark/functions",
+    "etl_xlsx_potgres_spark/sources",
+    "etl_xlsx_potgres_spark/streaming",
+    "etl_xlsx_potgres_spark/pipelines",
 )
 
 
@@ -60,12 +68,18 @@ def _core_hash() -> str:
     h = hashlib.sha256()
     for rel in _CORE_FILES:
         h.update(_file_sha(os.path.join(_REPO, rel)).encode())
+    for pkg in _CORE_PACKAGES:
+        for path in sorted(glob.glob(os.path.join(_REPO, pkg, "*.py"))):
+            h.update(_file_sha(path).encode())
     return h.hexdigest()
 
 
 def _source_hash(name: str, _core: str | None = None) -> str:
-    """Hash of the query's defining module combined with the shared
-    data-layer core."""
+    """Hash of the query's defining module, the shared-layer core, and
+    any sibling plans module the defining module imports (e.g.
+    similarity -> dedup_fuzzy's size-aware broadcast): an edit to any
+    of them re-queues the query for verification."""
+    import re
     import sys
 
     fn = registry.QUERIES[name]
@@ -73,7 +87,18 @@ def _source_hash(name: str, _core: str | None = None) -> str:
     mod_file = getattr(mod, "__file__", None)
     h = hashlib.sha256()
     h.update((_core if _core is not None else _core_hash()).encode())
-    h.update(_file_sha(mod_file).encode() if mod_file else b"nomod")
+    if not mod_file:
+        h.update(b"nomod")
+        return h.hexdigest()
+    h.update(_file_sha(mod_file).encode())
+    try:
+        with open(mod_file) as f:
+            src = f.read()
+        plans_dir = os.path.dirname(mod_file)
+        for sibling in sorted(set(re.findall(r"from \.(\w+) import", src))):
+            h.update(_file_sha(os.path.join(plans_dir, f"{sibling}.py")).encode())
+    except OSError:
+        h.update(b"nosrc")
     return h.hexdigest()
 
 
