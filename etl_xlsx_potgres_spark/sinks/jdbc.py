@@ -64,14 +64,18 @@ def append(
 
 
 def read_keys(spark: SparkSession, target: JdbcTarget, keys: list[str]) -> DataFrame:
-    """Read back only the key columns of the target table (column
-    pruning pushes into the remote query)."""
+    """Read back only the key columns of the target table. The
+    ``.select`` prunes at the JDBC scan — Spark compiles the required
+    columns into the remote query with dialect-correct identifier
+    quoting (a hand-built ``SELECT k FROM t`` subquery breaks on
+    engines that fold unquoted identifiers to uppercase, e.g. Derby)."""
     return (
         spark.read.format("jdbc")
         .option("url", target.url)
-        .option("dbtable", f"(SELECT {', '.join(keys)} FROM {target.table}) t")
+        .option("dbtable", target.table)
         .options(**target.properties)
         .load()
+        .select(*keys)
     )
 
 

@@ -87,3 +87,51 @@ def test_jdbc_insert_if_absent_roundtrip_when_pg_present(spark):
             assert cur.fetchone()[0] == "v7"
     finally:
         conn.close()
+
+
+def test_jdbc_append_and_upsert_roundtrip_embedded_derby(spark, tmp_path):
+    """LIVE JDBC roundtrip with no external database: Apache Derby
+    ships in Spark's jars, so the generic JDBC sink paths — parallel
+    batched append (auto-creating the table), key read-back with
+    column pruning, and the anti-join insert-if-absent upsert — are
+    provable in this environment. The Postgres-specific ON CONFLICT
+    statement path stays covered by build_upsert_sql unit tests and
+    the env-gated live-PG test above."""
+    from etl_xlsx_potgres_spark.sinks import jdbc
+
+    url = f"jdbc:derby:{tmp_path}/etl_db;create=true"
+    target = jdbc.JdbcTarget(
+        url=url,
+        table="it_upsert",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+
+    first = spark.range(10).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    jdbc.append(first, target, num_partitions=2)
+
+    back = jdbc.read_keys(spark, target, ["k"])
+    assert back.count() == 10
+
+    # overlapping second load: only the 5 new keys may land
+    second = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.concat(F.lit("w"), F.col("id")).alias("v")
+    )
+    jdbc.upsert_insert_if_absent(second, target, keys=["k"])
+    rows = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "it_upsert")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        .collect()
+    )
+    by_key = {r["k"]: r["v"] for r in rows}
+    assert len(by_key) == 15
+    assert by_key[7] == "v7"   # existing key NOT overwritten
+    assert by_key[12] == "w12"  # new key landed
+
+    # idempotent: re-running the same upsert adds nothing
+    jdbc.upsert_insert_if_absent(second, target, keys=["k"])
+    assert jdbc.read_keys(spark, target, ["k"]).count() == 15
