@@ -135,3 +135,69 @@ def test_jdbc_append_and_upsert_roundtrip_embedded_derby(spark, tmp_path):
     # idempotent: re-running the same upsert adds nothing
     jdbc.upsert_insert_if_absent(second, target, keys=["k"])
     assert jdbc.read_keys(spark, target, ["k"]).count() == 15
+
+
+def test_full_reference_journey_xlsx_to_database(spark, tmp_path):
+    """The reference's complete pipeline, live, with zero external
+    dependencies: a genuine .xlsx workbook (stdlib OOXML writer) ->
+    intake -> read -> transform (clean/type/dedup) -> normalized
+    outputs -> JDBC load into a real database (embedded Derby) ->
+    read-back row counts. This is importador.py + etl_process.py end
+    to end inside this sandbox."""
+    import datetime
+
+    from etl_xlsx_potgres_spark.pipelines import build_outputs, transform
+    from etl_xlsx_potgres_spark.sinks import jdbc
+    from etl_xlsx_potgres_spark.sources import excel, xlsx_stdlib
+
+    headers = [
+        "Nome/Razão Social", "Nome Fantasia", "CPF/CNPJ", "Data Nasc.",
+        "Data Cadastro cliente", "Celulares", "Telefones", "Emails",
+        "Endereço", "Número", "Complemento", "Bairro", "CEP", "Cidade",
+        "UF", "Plano", "Plano Valor", "Vencimento", "Status", "Isento",
+    ]
+    rows = [
+        [f"Cliente {i}", None, f"{i:06d}-{i % 97:02d}",
+         datetime.datetime(1985, 3, 1), datetime.datetime(2021, 5, 1),
+         5581000000000.0 + i, 8133330000.0 + i, f"c{i}@example.com",
+         f"Rua {i}", str(i), None, "Centro", "50000-000", "Recife",
+         "Pernambuco", f"PLANO_{i % 4}", 99.9, 10, "Ativo", None]
+        for i in range(40)
+    ]
+    rows[30][2] = rows[10][2]  # one duplicate key -> 39 after dedup
+
+    src = str(tmp_path / "clientes.xlsx")
+    xlsx_stdlib.write_xlsx(src, headers, rows)
+    landed = excel.validate_intake(src, str(tmp_path / "landing"))
+
+    import pyspark.sql.types as T
+
+    types = [T.StringType(), T.StringType(), T.StringType(),
+             T.TimestampType(), T.TimestampType(), T.DoubleType(),
+             T.DoubleType(), T.StringType(), T.StringType(),
+             T.StringType(), T.StringType(), T.StringType(),
+             T.StringType(), T.StringType(), T.StringType(),
+             T.StringType(), T.DoubleType(), T.LongType(),
+             T.StringType(), T.StringType()]
+    schema = T.StructType(
+        [T.StructField(h, t) for h, t in zip(headers, types)]
+    )
+    cleaned = transform(excel.read_workbook(spark, landed, schema=schema)).cache()
+    out = build_outputs(cleaned)
+
+    url = f"jdbc:derby:{tmp_path}/refdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    for name in ("planos", "clientes", "contratos", "contatos"):
+        jdbc.append(out[name], jdbc.JdbcTarget(url, name, props))
+
+    def count(table):
+        return (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", table).options(**props).load().count()
+        )
+
+    assert count("planos") == 4
+    assert count("clientes") == 39
+    assert count("contratos") == 39
+    # every client has celular+telefone+email contacts (3 rows each)
+    assert count("contatos") == 39 * 3
