@@ -26,6 +26,46 @@ from .dedup_fuzzy import _DUCK_SHINGLES
 _DUCK_TOKENS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
 
 
+# GPT-2-style pretokenizer, portability-constrained: contraction
+# suffixes, space-prefixed letter/digit/punctuation runs, whitespace
+# runs. Deliberately lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) tokenize identically — the real GPT-2 pattern's `(?!\S)`
+# can't cross engines. This is the per-document token-budget signal a
+# pretraining pipeline bins and caps on before the (model-specific)
+# exact BPE merge pass.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS n_bpe_tokens,
+           len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                           t -> trim(t) <> '')) AS n_content_tokens,
+           CASE WHEN len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) > 0
+                THEN CAST(length(text) AS DOUBLE)
+                     / len(regexp_extract_all(text, '{_BPE_PAT_SQL}'))
+           END AS chars_per_token
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    n = F.size(toks)
+    content = F.size(F.filter(toks, lambda t: F.trim(t) != ""))
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        content.alias("n_content_tokens"),
+        F.when(n > 0, F.length("text").cast("double") / n).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 @register(
     "text_token_count",
     oracle=f"""
