@@ -142,3 +142,72 @@ def test_pil_path_matches_stdlib():
     w, h, c, mean, codec = decode_image_payload(payload)
     assert (w, h, c, mean) == (2, 2, 3, sum(range(12)) / 12)
     assert codec == "pil"
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    data=st.data(),
+)
+def test_pnm_roundtrip_property(w, h, data):
+    pix = data.draw(
+        st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)
+    )
+    dec_w, dec_h, c, mean, _ = _decode_pnm(make_ppm(w, h, pix))
+    assert (dec_w, dec_h, c) == (w, h, 3)
+    assert mean == sum(pix) / len(pix)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    channels=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, channels, data):
+    rows = [
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * channels,
+                max_size=w * channels,
+            )
+        )
+        for _ in range(h)
+    ]
+    dec_w, dec_h, c, mean, _ = _decode_bmp(make_bmp(w, h, channels, rows))
+    flat = [b for r in rows for b in r]
+    assert (dec_w, dec_h, c) == (w, h, channels)
+    assert mean == sum(flat) / len(flat)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(rate, data):
+    from etl_xlsx_potgres_spark.operators.multimodal import (
+        decode_audio_payload,
+        wav_header,
+    )
+
+    samples = data.draw(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=64)
+    )
+    payload = wav_header(len(samples), rate=rate) + b"".join(
+        s.to_bytes(2, "little", signed=True) for s in samples
+    )
+    r, ch, sw, nf, dur, rms = decode_audio_payload(payload)
+    assert (r, ch, sw, nf) == (rate, 1, 2, len(samples))
+    import math
+
+    assert rms == math.sqrt(sum(s * s for s in samples) / len(samples))

@@ -173,3 +173,57 @@ def test_unknown_sheet_raises(tmp_path):
     xlsx_stdlib.write_xlsx(p, ["a"], [[1]])
     with pytest.raises(KeyError, match="no sheet named"):
         xlsx_stdlib.read_rows(p, "Missing")
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# xml 1.0 forbids control chars; Excel strings are also surrogate-free
+_CELL_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), max_codepoint=0xFFFF
+    ),
+    max_size=40,
+)
+_CELL = st.one_of(
+    st.none(),
+    _CELL_TEXT,
+    st.integers(-10**12, 10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.datetimes(
+        min_value=dt.datetime(1900, 3, 1),
+        max_value=dt.datetime(2200, 1, 1),
+    ).map(lambda d: d.replace(microsecond=0)),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_xlsx_roundtrip_property(tmp_path_factory, data):
+    n_cols = data.draw(st.integers(1, 6))
+    n_rows = data.draw(st.integers(0, 5))
+    headers = [f"c{i}" for i in range(n_cols)]
+    rows = [
+        [data.draw(_CELL) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    p = str(tmp_path_factory.mktemp("xl") / "prop.xlsx")
+    xlsx_stdlib.write_xlsx(p, headers, rows)
+    got_headers, got_rows = xlsx_stdlib.read_rows(p)
+    assert got_headers == headers
+    assert len(got_rows) == n_rows
+    for want_row, got_row in zip(rows, got_rows):
+        for want, got in zip(want_row, got_row):
+            if isinstance(want, bool) or want is None:
+                assert got is want or got == want
+            elif isinstance(want, float):
+                # float32 values survive exactly through repr round-trip
+                assert got == want
+            elif isinstance(want, dt.datetime):
+                assert abs((got - want).total_seconds()) < 1e-4
+            elif isinstance(want, str) and want == "":
+                assert got in ("", None)  # empty inline string
+            else:
+                assert got == want
