@@ -1,0 +1,69 @@
+"""Automatic physical-plan lint over EVERY registered query — the
+anti-patterns that silently cost 100x at 100 TB must not creep into
+any plan, not just the hand-audited headline ones:
+
+- ``BatchEvalPython`` (row-at-a-time Python UDF): never. Python on
+  the hot path is only acceptable Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``
+  / ``FlatMapCoGroupsInPandas``), and only where declared below.
+- ``CartesianProduct``: never. Even the exact-ANN baseline routes
+  through a size-guarded broadcast (BroadcastNestedLoopJoin at test
+  SF); an unhinted all-pairs join is a plan regression.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_xlsx_potgres_spark import registry
+
+registry.load_all()
+
+# Queries whose plans legitimately contain an Arrow-batched Python
+# stage. Everything else must be pure JVM expressions.
+ARROW_PYTHON_OK = {
+    "udaf_price_trend_per_customer",   # grouped-map UDAF
+    "pandas_udf_risk_score",           # vectorized scalar pandas UDF
+    "join_asof_cogrouped",             # cogrouped merge_asof
+    "dedup_embedding_lsh",             # Arrow-batched candidate verify
+    "mm_decode_image_meta",            # mapInPandas decode stages
+    "mm_decode_image_real",
+    "mm_decode_audio_real",
+    "mm_frame_sample",                 # downstream of decode stage
+    "ann_ml_brp_lsh",                  # MLlib LSH model transform
+}
+
+_ARROW_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+
+def _plan(spark, sf_dir: str, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_plan_has_no_scale_antipatterns(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan"
+    )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: unguarded all-pairs join in the plan"
+    )
+    if name not in ARROW_PYTHON_OK:
+        hit = next((n for n in _ARROW_NODES if n in plan), None)
+        assert hit is None, (
+            f"{name}: unexpected Python stage {hit} — add to "
+            "ARROW_PYTHON_OK only with a scale justification"
+        )
