@@ -273,3 +273,70 @@ def test_continuous_aggregate_read_error_propagates(spark, tmp_path):
         writer(_typed_frame(spark, [(d1, "click", 1.0)]), 0)
     # the garbage store was not clobbered by a batch-only overwrite
     assert (out / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_landing_dir_ingest_exactly_once_per_file(spark, tmp_path):
+    """File-source ingest of the landing dir: files present at run 1
+    land exactly once; a file added later lands in run 2 only (the
+    checkpoint remembers completed files across runs)."""
+    from pyspark.sql import types as T
+
+    from etl_xlsx_potgres_spark.streaming.landing import (
+        ingest_available_now,
+        stream_landing_dir,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    ingest_available_now(
+        stream_landing_dir(spark, landing, schema), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == 2
+
+    spark.createDataFrame([(3, "c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    ingest_available_now(
+        stream_landing_dir(spark, landing, schema), out, ckpt
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 3  # no re-ingest of files 1-2
+    assert {r["k"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_landing_dir_csv_corrupt_quarantine(spark, tmp_path):
+    """PERMISSIVE csv landing stream: schema-violating rows split into
+    the quarantine frame instead of being dropped or failing the run."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_xlsx_potgres_spark.streaming.landing import (
+        ingest_available_now,
+        split_corrupt,
+        stream_landing_dir,
+    )
+
+    landing = str(tmp_path / "landing_csv")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "f1.csv"), "w") as f:
+        f.write("k,v\n1,a\nnot_a_number,b\n3,c\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    stream = stream_landing_dir(spark, landing, schema, fmt="csv")
+    clean, bad = split_corrupt(stream)
+    ingest_available_now(clean, str(tmp_path / "clean"), str(tmp_path / "c1"))
+    ingest_available_now(bad, str(tmp_path / "bad"), str(tmp_path / "c2"))
+    assert spark.read.parquet(str(tmp_path / "clean")).count() == 2
+    bad_rows = spark.read.parquet(str(tmp_path / "bad")).collect()
+    assert len(bad_rows) == 1
+    assert "not_a_number" in bad_rows[0]["_corrupt_record"]
