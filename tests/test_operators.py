@@ -306,3 +306,36 @@ def test_global_ntile_matches_sql_ntile_on_ragged_count(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_csv_jsonl_declared_schema_quarantine(spark, tmp_path):
+    """Quarantine reader variants: declared schema, PERMISSIVE parse,
+    split into clean + quarantine instead of dropping or failing."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_xlsx_potgres_spark.sources.files import (
+        read_csv_quarantine,
+        read_jsonl_quarantine,
+        split_corrupt,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    csv_dir = str(tmp_path / "csv")
+    os.makedirs(csv_dir)
+    with open(os.path.join(csv_dir, "a.csv"), "w") as f:
+        f.write("k,v\n1,a\nbad_row,b\n3,c\n")
+    clean, bad = split_corrupt(read_csv_quarantine(spark, csv_dir, schema))
+    assert clean.count() == 2 and "_corrupt_record" not in clean.columns
+    assert bad.count() == 1
+
+    jl_dir = str(tmp_path / "jl")
+    os.makedirs(jl_dir)
+    with open(os.path.join(jl_dir, "a.jsonl"), "w") as f:
+        f.write('{"k": 1, "v": "a"}\n{"k": "oops", "v": "b"}\nnot json\n')
+    clean_j, bad_j = split_corrupt(read_jsonl_quarantine(spark, jl_dir, schema))
+    assert clean_j.count() == 1
+    assert bad_j.count() == 2  # type mismatch + malformed line
