@@ -221,3 +221,63 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         counts, [F.desc("n_occurrences"), F.asc("term")], "freq_rank"
     )
+
+
+# Vocabulary-coverage / OOV analysis: per-document rate of tokens
+# falling outside the corpus top-K vocabulary — the signal that drives
+# vocab-size choices and flags documents a truncated tokenizer would
+# shred. The vocab is K rows by construction (constant at ANY corpus
+# size), so broadcasting it back over the token stream is the correct
+# scale shape: one shuffle to rank terms, then a map-side join.
+VOCAB_K = 500
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term,
+               row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+        FROM tok GROUP BY term
+      ) WHERE rk <= {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ids import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    vocab = (
+        global_row_number(counts, [F.desc("n_occurrences"), F.asc("term")], "rk")
+        .filter(F.col("rk") <= VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+    )

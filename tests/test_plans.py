@@ -158,6 +158,7 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "top", "total", "avg_bal",       # single-row scalar aggregates
         "cents",                          # IVF codebook (16 rows)
         "sk",                             # 1-row sketch-verdict aggregate
+        "vocab",                          # top-K vocabulary (K rows by construction)
         "ranks", "out_deg",               # PageRank iteration state (|V| rows,
                                           # deliberate: documented in graph_iterative)
         "frame",                          # _size_aware_broadcast's own guarded hint
