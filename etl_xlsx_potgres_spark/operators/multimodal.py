@@ -116,12 +116,17 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, int, float, str]:
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, str]:
     """Pure-stdlib decode of uncompressed 8/24/32-bit BMP (BITMAPINFO
-    header): rows are bottom-up and padded to 4-byte strides."""
+    header): rows are bottom-up and padded to 4-byte strides. 8-bit
+    pixels are palette indices — when a color table is present it is
+    resolved (mean over the entries' R/G/B luminance) so ``pixel_mean``
+    is over pixel values, never raw indices; a palette-less 8-bit BMP
+    is treated as identity-grayscale."""
     import struct
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     bitcount = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
@@ -129,14 +134,33 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, float, str]:
         raise ValueError(f"unsupported BMP (bits={bitcount} comp={compression})")
     channels = bitcount // 8
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"zero-area BMP ({width}x{height})")
+    # 8-bit: map each index through the color table's mean luminance
+    # ((R+G+B)/3 per BGRA entry, between the info header and the pixel
+    # plane); absent table -> identity (index == gray value).
+    lut: list[float] | None = None
+    if bitcount == 8:
+        pal_start, pal_bytes = 14 + hdr_size, data_off - (14 + hdr_size)
+        if pal_bytes >= 4:
+            lut = [
+                (payload[o] + payload[o + 1] + payload[o + 2]) / 3.0
+                for o in range(pal_start, pal_start + (pal_bytes // 4) * 4, 4)
+            ]
     stride = ((width * channels + 3) // 4) * 4
-    total, count = 0, 0
+    total, count = 0.0, 0
     for row in range(height):
         start = data_off + row * stride
         line = payload[start: start + width * channels]
         if len(line) != width * channels:
             raise ValueError("truncated BMP pixel data")
-        total += sum(line)
+        if lut is not None:
+            try:
+                total += sum(lut[b] for b in line)
+            except IndexError:
+                raise ValueError("BMP palette index out of range") from None
+        else:
+            total += sum(line)
         count += len(line)
     return width, height, channels, total / count, "bmp"
 

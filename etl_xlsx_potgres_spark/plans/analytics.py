@@ -265,19 +265,32 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
         ).alias("term"),
     )
-    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # Both the vocab ranking and the per-doc OOV rate are derivable
+    # from ONE (doc_id, term)-level count: aggregate the token stream
+    # once (the only full-width shuffle), persist that much smaller
+    # deduplicated frame, and reuse it on both sides — the corpus is
+    # scanned+tokenized exactly once. (The naive shape tokenizes twice:
+    # once for vocab counts, once for the join side — at 100 TB the
+    # second tokenize pass is the whole query cost.)
+    dt = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    counts = dt.groupBy("term").agg(F.sum("cnt").alias("n_occurrences"))
     vocab = (
         global_row_number(counts, [F.desc("n_occurrences"), F.asc("term")], "rk")
         .filter(F.col("rk") <= VOCAB_K)
         .select("term", F.lit(1).alias("in_vocab"))
     )
-    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
+    n_tok = F.sum("cnt")
     return (
-        toks.join(F.broadcast(vocab), "term", "left")
+        dt.join(F.broadcast(vocab), "term", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            n_tok.alias("n_tokens"),
             oov.alias("n_oov"),
-            (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+            (oov.cast("double") / n_tok).alias("oov_rate"),
         )
     )

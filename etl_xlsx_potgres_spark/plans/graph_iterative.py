@@ -29,9 +29,34 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from .dedup_fuzzy import _broadcast_threshold_bytes
 
 DAMPING = 0.85
 N_ITER = 8
+
+# conservative per-row estimate for the (vertex BIGINT, rank DOUBLE)
+# iteration vectors in BroadcastHashJoin's long-to-row hashed relation
+_RANK_ROW_BYTES = 48
+
+
+def _gated_vector_hint(frame: DataFrame, n_rows: int) -> DataFrame:
+    """Broadcast the |V|-row iteration state ONLY while its estimated
+    size fits under autoBroadcastJoinThreshold. The vertex set scales
+    with the data — at 100 TB a billion-row rank vector must NOT be
+    hinted into every executor (same class of bug as a corpus
+    broadcast); above the threshold the join falls back to a plain
+    src-keyed shuffle join, which AQE can still convert at runtime."""
+    spark = frame.sparkSession
+    if n_rows * _RANK_ROW_BYTES <= _broadcast_threshold_bytes(spark):
+        return F.broadcast(frame)
+    return frame
+
+
+def _vector_width(n_rows: int) -> int:
+    """Partition width for the |V|-row vectors: 8 covers every sandbox
+    SF; grows ~1 partition per million vertices so a billion-vertex
+    graph checkpoints across the cluster, not through 8 tasks."""
+    return max(8, n_rows // 1_000_000)
 
 
 def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
@@ -45,24 +70,26 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
         .cache()
     )
     n = vertices.count()
+    w = _vector_width(n)
     # size the cached edge partitioning to the data, not to the shuffle
     # width of whatever produced it (a union of two 200-partition
     # shuffles yields 400 near-empty partitions whose per-iteration
     # task-scheduling overhead dwarfs the compute)
-    edges = edges.repartition(8).cache()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(8).cache()
+    edges = edges.repartition(w).cache()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w).cache()
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        # the rank/degree vectors are |V| rows — broadcast them into
-        # the edge scan so each iteration shuffles only the per-dst
-        # partial sums, never the edge list
+        # the rank/degree vectors are |V| rows — while they fit under
+        # the broadcast threshold, hint them into the edge scan so each
+        # iteration shuffles only the per-dst partial sums, never the
+        # edge list; past the threshold the gate drops the hint
         contribs = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.vertex)
-            .join(F.broadcast(out_deg), "src")
+            edges.join(_gated_vector_hint(ranks, n), edges.src == ranks.vertex)
+            .join(_gated_vector_hint(out_deg, n), "src")
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("deg")).alias("c"))
-            # pre-partition at the width the tiny rank vector needs; the
+            # pre-partition at the width the rank vector needs; the
             # groupBy reuses it instead of the session-wide shuffle width
-            .repartition(8, "vertex")
+            .repartition(w, "vertex")
             .groupBy("vertex")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -74,10 +101,10 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
                     "rank"
                 ),
             )
-            # coalesce: the rank vector is |V| rows; checkpointing it at
-            # the session's full shuffle width (e.g. 200 partitions)
+            # coalesce: checkpointing the rank vector at the session's
+            # full shuffle width (e.g. 200 partitions at sandbox SF)
             # costs far more than the compute
-            .coalesce(8)
+            .coalesce(w)
             # truncate lineage: keeps iteration k's plan O(1), not O(2^k)
             .localCheckpoint(eager=True)
         )
@@ -100,19 +127,20 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         .cache()
     )
     n = vertices.count()
+    w = _vector_width(n)
     base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
-    edges = edges.repartition(8).cache()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(8).cache()
+    edges = edges.repartition(w).cache()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w).cache()
     ranks = vertices.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
     for _ in range(n_iter):
         contribs = (
-            edges.join(F.broadcast(ranks), edges.src == ranks.vertex)
-            .join(F.broadcast(out_deg), "src")
+            edges.join(_gated_vector_hint(ranks, n), edges.src == ranks.vertex)
+            .join(_gated_vector_hint(out_deg, n), "src")
             .select(
                 F.col("dst").alias("vertex"),
                 F.expr("rank_fp div deg").alias("c"),
             )
-            .repartition(8, "vertex")
+            .repartition(w, "vertex")
             .groupBy("vertex")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -125,7 +153,7 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
                     f" div {DAMP_DEN} AS BIGINT)"
                 ).alias("rank_fp"),
             )
-            .coalesce(8)
+            .coalesce(w)
             .localCheckpoint(eager=True)
         )
     return ranks

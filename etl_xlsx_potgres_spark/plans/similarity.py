@@ -282,12 +282,15 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # independent exact baseline: euclidean top-k within the radius.
-    # 10-row query side -> planner broadcasts it into a nested-loop
-    # scan of the corpus; the corpus itself is never broadcast.
+    # The query side is bounded by construction (vec_id < N_QUERIES,
+    # i.e. <= 10 rows) so it gets an explicit broadcast hint — relying
+    # on size stats for a non-equi join risks a CartesianProduct
+    # fallback on a large corpus; the corpus itself is never broadcast.
     raw = load_table(spark, sf_dir, "embeddings")
     q = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    q = F.broadcast(q)
     v = raw.select("vec_id", F.col("embedding").alias("vv"))
     dist = F.sqrt(
         F.aggregate(

@@ -308,8 +308,10 @@ def agg_stats_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal TRUE for every bound, so a sketch drifting outside tolerance
 # becomes a hash mismatch, not an unverifiable rows-only row. Bounds:
 # HLL default rsd is 5% -> 10% tolerance; approx_percentile accuracy
-# 1000 bounds rank error ~0.1% -> +-5pp rank window. The sketches are
-# the 100 TB path (fixed-size state, no distinct shuffle).
+# 1000 bounds rank error ~0.1%, but the <=-rank check is one-sided on
+# tie-heavy price data (every duplicate of the percentile value counts
+# into le_p95), so the windows are [p-5pp, min(p+5pp, 1)]. The sketches
+# are the 100 TB path (fixed-size state, no distinct shuffle).
 @register(
     "agg_approx_sketches",
     oracle="""
@@ -362,7 +364,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.col("exact_supps")
         ).alias("supps_within_10pct"),
         (F.col("le_p50") / F.col("n")).between(0.45, 0.55).alias("p50_rank_ok"),
-        (F.col("le_p95") / F.col("n")).between(0.93, 0.97).alias("p95_rank_ok"),
+        (F.col("le_p95") / F.col("n")).between(0.90, 1.00).alias("p95_rank_ok"),
     )
 
 

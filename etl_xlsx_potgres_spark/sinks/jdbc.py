@@ -87,6 +87,26 @@ def upsert_insert_if_absent(
     append(new_rows(df, existing, keys), target, batchsize=batchsize)
 
 
+_PLAIN_IDENT = __import__("re").compile(r"^[a-z_][a-z0-9_$]*$")
+
+
+def quote_ident(name: str) -> str:
+    """Postgres-safe identifier: plain lowercase names pass through
+    unquoted (byte-for-byte the reference's statements,
+    ``etl_process.py:40,:75``); mixed-case, spaced, or otherwise
+    exotic names get double-quoted with embedded quotes doubled —
+    left unquoted the server case-folds them and the conflict target
+    silently misses the unique constraint."""
+    if _PLAIN_IDENT.match(name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _quote_table(table: str) -> str:
+    # schema-qualified targets quote each path segment independently
+    return ".".join(quote_ident(p) for p in table.split("."))
+
+
 def build_upsert_sql(
     table: str,
     columns: list[str],
@@ -95,13 +115,16 @@ def build_upsert_sql(
 ) -> str:
     """Statement for per-partition executemany upsert. Pure function —
     unit-tested without a live database."""
-    collist = ", ".join(columns)
+    cols = [quote_ident(c) for c in columns]
+    collist = ", ".join(cols)
     placeholders = ", ".join(["%s"] * len(columns))
-    sql = f"INSERT INTO {table} ({collist}) VALUES ({placeholders})"
-    conflict = ", ".join(conflict_keys)
+    sql = f"INSERT INTO {_quote_table(table)} ({collist}) VALUES ({placeholders})"
+    conflict = ", ".join(quote_ident(k) for k in conflict_keys)
     if do_update:
         updates = ", ".join(
-            f"{c} = EXCLUDED.{c}" for c in columns if c not in conflict_keys
+            f"{quote_ident(c)} = EXCLUDED.{quote_ident(c)}"
+            for c in columns
+            if c not in conflict_keys
         )
         return f"{sql} ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
     return f"{sql} ON CONFLICT ({conflict}) DO NOTHING"

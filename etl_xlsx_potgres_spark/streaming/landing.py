@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-CORRUPT_COL = "_corrupt_record"
+from ..sources.files import CORRUPT_COL, _with_corrupt
 
 
 def stream_landing_dir(
@@ -39,9 +39,10 @@ def stream_landing_dir(
     schema (file streams require one — no inference race on arrival).
     For csv, a corrupt-record column is appended for quarantine."""
     if fmt == "csv":
-        schema = T.StructType(
-            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
-        )
+        # _with_corrupt is a no-op when the caller's schema already
+        # declares the corrupt column (a blind append would raise a
+        # duplicate-column AnalysisException).
+        schema = _with_corrupt(schema)
         options.setdefault("header", "true")
         options.setdefault("mode", "PERMISSIVE")
         options.setdefault("columnNameOfCorruptRecord", CORRUPT_COL)

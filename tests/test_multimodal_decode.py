@@ -71,9 +71,45 @@ def test_bmp_24bit_bottom_up_padding():
     assert codec == "bmp"
 
 
-def test_bmp_8bit():
+def test_bmp_8bit_paletteless_identity():
     w, h, c, mean, _ = _decode_bmp(make_bmp(4, 1, 1, [[0, 10, 20, 30]]))
     assert (w, h, c, mean) == (4, 1, 1, 15.0)
+
+
+def make_bmp_paletted(width, height, pixel_rows, palette):
+    """8-bit BMP with a color table: indices resolve through BGRA
+    palette entries, not raw index values."""
+    stride = ((width + 3) // 4) * 4
+    data = b"".join(
+        bytes(row) + b"\x00" * (stride - width) for row in pixel_rows
+    )
+    pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    data_off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+        len(data), 2835, 2835, len(palette), 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    return header + info + pal + data
+
+
+def test_bmp_8bit_palette_resolved():
+    # indices 0,1 -> entries (30,30,30) and (90,90,90): mean over
+    # resolved luminance (60.0), not over the raw indices (0.5)
+    payload = make_bmp_paletted(2, 1, [[0, 1]], [(30, 30, 30), (90, 90, 90)])
+    w, h, c, mean, _ = _decode_bmp(payload)
+    assert (w, h, c, mean) == (2, 1, 1, 60.0)
+
+
+def test_bmp_8bit_palette_index_out_of_range():
+    payload = make_bmp_paletted(2, 1, [[0, 5]], [(10, 10, 10)])
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_bmp(payload)
+
+
+def test_bmp_zero_area_raises():
+    with pytest.raises(ValueError, match="zero-area"):
+        _decode_bmp(make_bmp(0, 0, 3, []))
 
 
 def test_unsupported_format_raises():

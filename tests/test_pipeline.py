@@ -132,6 +132,37 @@ def test_upsert_sql_builder():
     assert sql_up.endswith("DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
 
 
+def test_upsert_sql_builder_quoted_mixed_case():
+    """Mixed-case / exotic identifiers (the workbook's pre-normalize
+    headers are exactly this shape) must be double-quoted or Postgres
+    case-folds them and the ON CONFLICT target misses the constraint;
+    plain lowercase stays unquoted, byte-identical to the reference's
+    statements (etl_process.py:75)."""
+    from etl_xlsx_potgres_spark.sinks import build_upsert_sql
+    from etl_xlsx_potgres_spark.sinks.jdbc import quote_ident
+
+    assert quote_ident("descricao") == "descricao"
+    assert quote_ident("Descricao") == '"Descricao"'
+    assert quote_ident("data nasc") == '"data nasc"'
+    assert quote_ident('we"ird') == '"we""ird"'
+
+    sql = build_upsert_sql(
+        "public.Tbl_Planos", ["Descricao", "valor"], ["Descricao"]
+    )
+    assert sql == (
+        'INSERT INTO public."Tbl_Planos" ("Descricao", valor) '
+        'VALUES (%s, %s) ON CONFLICT ("Descricao") DO NOTHING'
+    )
+
+    sql_up = build_upsert_sql(
+        "t", ["CPF/CNPJ", "Valor", "nome"], ["CPF/CNPJ"], do_update=True
+    )
+    assert sql_up.endswith(
+        'ON CONFLICT ("CPF/CNPJ") DO UPDATE SET '
+        '"Valor" = EXCLUDED."Valor", nome = EXCLUDED.nome'
+    )
+
+
 def test_excel_source_intake_validation(spark, tmp_path):
     """Intake validation semantics (exists / .xlsx / landing copy);
     reading itself no longer needs openpyxl (stdlib OOXML fallback —

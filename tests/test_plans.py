@@ -145,11 +145,12 @@ def test_embedding_lsh_joins_on_band_keys(spark, sf_dir):
 def test_no_hardcoded_broadcast_of_scaling_frames():
     """`F.broadcast` hints in plans/ are reserved for frames that stay
     small at ANY scale factor: nation/region dims, scalar aggregates,
-    codebooks, and PageRank's per-iteration rank vector. A hint on
-    customer/supplier/part/documents/embeddings-derived frames forces
-    an executor OOM at 100x data — those joins must be left to AQE
-    (which still broadcasts them at small SF) or routed through
-    `_size_aware_broadcast`."""
+    codebooks, bounded query sides. A hint on any data-scaling frame
+    (customer/supplier/part/documents/embeddings-derived, PageRank's
+    |V|-row iteration state) forces an executor OOM at 100x data —
+    those joins must be left to AQE (which still broadcasts them at
+    small SF) or routed through a size gate (`_size_aware_broadcast`,
+    `_gated_vector_hint`)."""
     import pathlib
     import re
 
@@ -159,9 +160,11 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "cents",                          # IVF codebook (16 rows)
         "sk",                             # 1-row sketch-verdict aggregate
         "vocab",                          # top-K vocabulary (K rows by construction)
-        "ranks", "out_deg",               # PageRank iteration state (|V| rows,
-                                          # deliberate: documented in graph_iterative)
-        "frame",                          # _size_aware_broadcast's own guarded hint
+        "q",                              # BRP-LSH exact-baseline query side
+                                          # (<= N_QUERIES rows by construction)
+        "frame",                          # the guarded hints' own parameter
+                                          # (_size_aware_broadcast in dedup_fuzzy,
+                                          # _gated_vector_hint in graph_iterative)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     # capture the leading identifier chain of the hinted frame
@@ -207,6 +210,23 @@ def test_broadcast_threshold_parses_all_size_suffixes():
     }
     for raw, want in cases.items():
         assert _broadcast_threshold_bytes(FakeSpark(raw)) == want, raw
+
+
+def test_pagerank_vector_hint_gated_by_size(spark):
+    """The |V|-row iteration-state hint must disappear once the
+    estimated vector size crosses autoBroadcastJoinThreshold — a
+    billion-vertex rank vector hinted into every executor is the
+    corpus-broadcast bug all over again."""
+    from etl_xlsx_potgres_spark.plans.graph_iterative import (
+        _gated_vector_hint,
+        _vector_width,
+    )
+
+    df = spark.range(4).withColumnRenamed("id", "vertex")
+    assert _gated_vector_hint(df, 4) is not df          # tiny -> hinted
+    assert _gated_vector_hint(df, 10**9) is df          # 48 GB est. -> plain
+    assert _vector_width(1000) == 8
+    assert _vector_width(2_000_000_000) == 2000
 
 
 def test_surrogate_ids_avoid_single_partition_sort(spark, sf_dir):
