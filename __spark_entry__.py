@@ -103,12 +103,14 @@ def _source_hash(name: str, _core: str | None = None) -> str:
 
 
 def fixture_fingerprint(sf_dir: str = ORACLE_SF_DIR) -> str:
-    """Name + size + pyarrow schema of every oracle-SF parquet — cheap
-    (metadata only) and catches silent fixture regeneration, including
-    physical-type changes like the r5 nanos->micros flip. Deliberately
-    mtime-free: re-provisioning byte-identical fixtures must NOT void
-    the committed ledger (it would re-freeze the rotation every fresh
-    environment)."""
+    """Name + size + pyarrow schema + footer statistics (row count,
+    row-group count, per-column min/max/null-count) of every oracle-SF
+    parquet — still metadata-only cheap, but now VALUE-sensitive: a
+    fixture regenerated with different data and a coincidentally
+    identical size+schema flips the column min/max stats and voids the
+    ledger. Deliberately mtime-free: re-provisioning byte-identical
+    fixtures must NOT void the committed ledger (it would re-freeze
+    the rotation every fresh environment)."""
     h = hashlib.sha256()
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         st = os.stat(path)
@@ -117,6 +119,18 @@ def fixture_fingerprint(sf_dir: str = ORACLE_SF_DIR) -> str:
             import pyarrow.parquet as pq
 
             h.update(str(pq.read_schema(path)).encode())
+            md = pq.ParquetFile(path).metadata
+            h.update(f"rows={md.num_rows};rgs={md.num_row_groups}".encode())
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for col_i in range(rg.num_columns):
+                    s = rg.column(col_i).statistics
+                    if s is None:
+                        h.update(b"nostats")
+                        continue
+                    mn = s.min if s.has_min_max else None
+                    mx = s.max if s.has_min_max else None
+                    h.update(f"{mn!r}|{mx!r}|{s.null_count!r};".encode())
         except Exception:
             h.update(b"noschema")
     return h.hexdigest()
@@ -239,9 +253,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q1_pricing_summary"](spark, SMOKE_SF_DIR)
 
 
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
+    """Apply the engine's runtime-safe session posture (UTC, AQE,
+    core-count shuffle width) before each verify run — the driver
+    hands us a bare 200-partition session, and the multi-stage
+    pipeline queries pay thousands of empty tasks without this."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_for_oracle(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
-    return {n: registry.QUERIES[n] for n in _ordered_names()}
+    return {n: _tuned(registry.QUERIES[n]) for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -122,7 +122,13 @@ def build_outputs(
 
     status = _seed_df(spark, STATUS_SEED, "status_id", "status")
 
-    enriched, missing_cliente = fk_lookup(cleaned, cliente_ids, "cpf_cnpj")
+    # cliente_ids scales with the entity table (one row per customer)
+    # -> no broadcast hint; the cpf-keyed shuffle join is the 100 TB
+    # shape and AQE still broadcasts it at small SF. The plan catalog
+    # stays a true dimension (bounded), so that join keeps the hint.
+    enriched, missing_cliente = fk_lookup(
+        cleaned, cliente_ids, "cpf_cnpj", broadcast=False
+    )
     enriched, missing_plano = fk_lookup(
         enriched.withColumnRenamed("Plano", "descricao"), plano_ids, "descricao"
     )

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     graph_iterative,
     multimodal,
     pandas_udfs,
+    reference_pipeline,
     reference_surface,
     relational,
     relational_extra,

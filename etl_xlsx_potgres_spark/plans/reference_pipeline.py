@@ -1,0 +1,274 @@
+"""The reference pipeline end-to-end as an ORACLE-CHECKED query.
+
+``bench.py`` times the faithful workload (1200-row workbook clone ->
+transform -> four normalized outputs) as the headline comparison
+against BASELINE.md's 22.31 s transform stage, but until this module
+that number lived outside the differential ledger. Here the SAME
+pipeline runs over a DETERMINISTIC clone built plan-side from
+``spark.range`` (no driver-side row list) and returns a one-row-per-
+output summary (row count + two integer checksums), while the DuckDB
+oracle re-derives the clone from ``generate_series`` and replays every
+stage — header clean, digits-only CPF, phone normalize, date casts,
+null defaults, deterministic dedup, dimension extraction, surrogate
+ids, both FK joins, contract projection, contact unpivot, quarantine,
+run metrics (``/root/reference/etl_process.py:194-224`` lifecycle) —
+in independent ANSI SQL. A value drift anywhere in the fan-out
+becomes a hash mismatch on this single frame.
+
+The clone is seeded so every cleaning rule actually fires: CPFs carry
+a ``-`` for digits_only, 100 duplicate keys exercise the dedup
+survivor, phones carry ``+``/``-``/edge spaces, UF/Plano/Vencimento
+carry NULLs for the default rules, and Telefones/Emails carry NULLs
+for the unpivot's null filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+N_ROWS = 1200
+DUP_MOD = 1100  # rows i and i+1100 share a CPF -> 100 dedup groups
+
+
+def workbook_clone(spark: SparkSession, n_rows: int = N_ROWS) -> DataFrame:
+    """Deterministic 1200-row clone of the reference workbook
+    (``importador.py`` upload -> ``etl_process`` input), with the raw
+    messy headers. Built from ``spark.range`` so the frame is
+    plan-side and partition-parallel — the same construction holds if
+    the clone were 1e9 rows."""
+    i = F.col("id")
+
+    def istr(col: F.Column) -> F.Column:
+        return col.cast("string")
+
+    return spark.range(n_rows).select(
+        F.concat(F.lit("Cliente "), F.lpad(istr(i), 4, "0")).alias(
+            "Nome/Razão Social"
+        ),
+        F.when(i % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Fantasia "), F.lpad(istr(i), 4, "0")))
+        .alias("Nome Fantasia"),
+        F.format_string("%09d-%02d", i % DUP_MOD, i % 11).alias("CPF/CNPJ"),
+        F.date_add(F.lit("1980-01-01").cast("date"), (i % 365).cast("int")).alias(
+            "Data Nasc."
+        ),
+        F.date_add(F.lit("2020-01-01").cast("date"), (i % 730).cast("int")).alias(
+            "Data Cadastro cliente"
+        ),
+        F.concat(
+            F.lit("+55 (81) 9"), F.format_string("%04d-%04d", i % 10000, (i * 7) % 10000)
+        ).alias("Celulares"),
+        F.when(i % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit(" (81) 3333-"), F.format_string("%04d", i % 10000), F.lit(" ")
+            )
+        )
+        .alias("Telefones"),
+        F.when(i % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("c"), istr(i), F.lit("@example.com")))
+        .alias("Emails"),
+        F.when(i % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Rua "), istr(i % 50)))
+        .alias("Endereço"),
+        istr(i).alias("Número"),
+        F.lit(None).cast("string").alias("Complemento"),
+        F.lit("Centro").alias("Bairro"),
+        F.lit("50000-000").alias("CEP"),
+        F.lit("Recife").alias("Cidade"),
+        F.when(i % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("Pernambuco"))
+        .alias("UF"),
+        F.when(i % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("PLANO_"), F.lpad(istr(i % 16), 2, "0")))
+        .alias("Plano"),
+        F.expr("CAST(99.9 + (id % 16) AS DECIMAL(15,2))").alias("Plano Valor"),
+        F.when(i % 15 == 0, F.lit(None).cast("int"))
+        .when(i % 5 == 0, F.lit(0))
+        .otherwise(((i % 28) + 1).cast("int"))
+        .alias("Vencimento"),
+        F.element_at(
+            F.array(
+                F.lit("Ativo"),
+                F.lit("Velocidade Reduzida"),
+                F.lit("Suspenso"),
+                F.lit("Cancelado"),
+            ),
+            (i % 4).cast("int") + 1,
+        ).alias("Status"),
+        F.when(i % 2 == 0, F.lit("Sim")).otherwise(F.lit(None).cast("string")).alias(
+            "Isento"
+        ),
+    )
+
+
+def _summary(name: str, df: DataFrame, a: F.Column, b: F.Column) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(a.cast("long"), F.lit(0)).alias("check_a"),
+        F.coalesce(b.cast("long"), F.lit(0)).alias("check_b"),
+    ).select(F.lit(name).alias("output"), "n_rows", "check_a", "check_b")
+
+
+# The oracle replays the full pipeline in DuckDB over the same
+# deterministic clone. Stage mapping: src = workbook_clone, cleaned =
+# pipelines.transform (clean + defaults), dedup = dedup_deterministic,
+# planos = extract_dimension, *_ids = surrogate_ids (row_number over
+# key order), enr = both fk_lookup joins, then the fan-out summaries.
+_ORACLE = f"""
+WITH src AS (
+  SELECT i,
+    'Cliente ' || lpad(CAST(i AS VARCHAR), 4, '0') AS nome,
+    printf('%09d-%02d', i % {DUP_MOD}, i % 11) AS cpf_raw,
+    DATE '1980-01-01' + CAST(i % 365 AS INT) AS nasc,
+    DATE '2020-01-01' + CAST(i % 730 AS INT) AS cadastro,
+    '+55 (81) 9' || printf('%04d-%04d', i % 10000, (i * 7) % 10000) AS cel,
+    CASE WHEN i % 7 = 0 THEN NULL
+         ELSE ' (81) 3333-' || printf('%04d', i % 10000) || ' ' END AS tel,
+    CASE WHEN i % 17 = 0 THEN NULL
+         ELSE 'c' || CAST(i AS VARCHAR) || '@example.com' END AS email,
+    CASE WHEN i % 19 = 0 THEN NULL
+         ELSE 'Rua ' || CAST(i % 50 AS VARCHAR) END AS ender,
+    CAST(i AS VARCHAR) AS numero,
+    CASE WHEN i % 23 = 0 THEN 'Desconhecido' ELSE 'Pernambuco' END AS uf,
+    CASE WHEN i % 13 = 0 THEN 'Plano Desconhecido'
+         ELSE 'PLANO_' || lpad(CAST(i % 16 AS VARCHAR), 2, '0') END AS plano,
+    CAST(99.9 + (i % 16) AS DECIMAL(15,2)) AS valor,
+    CASE WHEN i % 15 = 0 THEN NULL
+         WHEN i % 5 = 0 THEN 0
+         ELSE (i % 28) + 1 END AS venc
+  FROM generate_series(0, {N_ROWS - 1}) t(i)
+),
+cleaned AS (
+  SELECT *,
+    regexp_replace(cpf_raw, '\\D', '', 'g') AS cpf,
+    regexp_replace(replace(replace(cel, '+', ''), '-', ''),
+                   '^\\s+|\\s+$', '', 'g') AS cel_n,
+    regexp_replace(replace(replace(tel, '+', ''), '-', ''),
+                   '^\\s+|\\s+$', '', 'g') AS tel_n
+  FROM src
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY cpf ORDER BY cadastro, nome) AS rn
+    FROM cleaned) WHERE rn = 1
+),
+planos AS (
+  SELECT plano AS descricao, min(valor) AS valor FROM dedup GROUP BY plano
+),
+cliente_ids AS (
+  SELECT cpf, row_number() OVER (ORDER BY cpf) AS cliente_id FROM dedup
+),
+plano_ids AS (
+  SELECT descricao, row_number() OVER (ORDER BY descricao) AS plano_id FROM planos
+),
+enr AS (
+  SELECT d.*, ci.cliente_id, pi.plano_id,
+         CASE WHEN d.venc IS NULL OR d.venc = 0 THEN 10 ELSE d.venc END AS dia_venc
+  FROM dedup d
+  JOIN cliente_ids ci ON d.cpf = ci.cpf
+  JOIN plano_ids pi ON d.plano = pi.descricao
+),
+contatos AS (
+  SELECT cliente_id, tipo_id, trim(contato) AS contato FROM (
+    SELECT cliente_id, 1 AS tipo_id, tel_n AS contato FROM enr
+    UNION ALL SELECT cliente_id, 2, cel_n FROM enr
+    UNION ALL SELECT cliente_id, 3, email FROM enr
+  ) WHERE contato IS NOT NULL AND trim(contato) NOT IN ('', 'nan')
+)
+SELECT 'clientes' AS output,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT cpf) AS BIGINT) AS check_a,
+       CAST(SUM(length(nome) + day(nasc) + day(cadastro)) AS BIGINT) AS check_b
+FROM dedup
+UNION ALL
+SELECT 'contatos', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cliente_id + tipo_id) AS BIGINT),
+       CAST(SUM(length(contato)) AS BIGINT)
+FROM contatos
+UNION ALL
+SELECT 'contratos', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cliente_id * 7 + plano_id) AS BIGINT),
+       CAST(SUM(dia_venc * 100 + length(substring(uf, 1, 2)) + length('50000-000')
+                + length(numero) + length(COALESCE(ender, ''))) AS BIGINT)
+FROM enr
+UNION ALL
+SELECT 'metrics', CAST(1 AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT cpf) AS BIGINT)
+FROM dedup
+UNION ALL
+SELECT 'planos', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT descricao) AS BIGINT),
+       CAST(SUM(CAST(valor * 100 AS BIGINT)) AS BIGINT)
+FROM planos
+UNION ALL
+SELECT 'quarantine_contratos', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+ORDER BY output
+"""
+
+
+@register("reference_pipeline_1200rows", oracle=_ORACLE)
+def reference_pipeline_1200rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the deterministic clone; sf_dir is unused by
+    design (the reference's workload is the fixed 1200-row workbook —
+    this is the differential twin of bench.py's headline number)."""
+    from ..pipelines import build_outputs, transform
+
+    cleaned = transform(workbook_clone(spark)).cache()
+    out = build_outputs(cleaned)
+
+    clientes = _summary(
+        "clientes",
+        out["clientes"],
+        F.countDistinct("cpf_cnpj"),
+        F.sum(
+            F.length("nome_razao_social")
+            + F.dayofmonth("data_nascimento")
+            + F.dayofmonth("data_cadastro")
+        ),
+    )
+    contatos = _summary(
+        "contatos",
+        out["contatos"],
+        F.sum(F.col("cliente_id") + F.col("tipo_id")),
+        F.sum(F.length("contato")),
+    )
+    contratos = _summary(
+        "contratos",
+        out["contratos"],
+        F.sum(F.col("cliente_id") * 7 + F.col("plano_id")),
+        F.sum(
+            F.col("dia_vencimento") * 100
+            + F.length("endereco_uf")
+            + F.length("endereco_cep")
+            + F.length("endereco_numero")
+            + F.length("endereco_logradouro")
+        ),
+    )
+    metrics = _summary(
+        "metrics", out["metrics"], F.first("registros"), F.first("clientes_distintos")
+    )
+    planos = _summary(
+        "planos",
+        out["planos"],
+        F.countDistinct("descricao"),
+        F.sum((F.col("valor") * 100).cast("long")),
+    )
+    quarantine = _summary(
+        "quarantine_contratos",
+        out["quarantine_contratos"],
+        F.sum(F.length("cpf_cnpj")),
+        F.sum(F.length("erro")),
+    )
+    return (
+        clientes.unionAll(contatos)
+        .unionAll(contratos)
+        .unionAll(metrics)
+        .unionAll(planos)
+        .unionAll(quarantine)
+        .orderBy("output")
+    )

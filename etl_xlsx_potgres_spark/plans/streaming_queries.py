@@ -64,3 +64,99 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         session_windows(events), "stream_session_sink", output_mode="complete"
     )
+
+
+# Landing-directory ingest (the reference's uploads-folder intake,
+# importador.py:7-28, as a Structured Streaming file source) under
+# driver attestation: a deterministic 3-file CSV drop — 588 clean
+# rows + 12 schema-violating rows — streams through the PERMISSIVE
+# quarantine channel into a memory sink, and the one-row summary
+# (clean/quarantine counts + value checksums) is re-derived by the
+# oracle from generate_series. Exactly-once-per-file checkpoint
+# semantics are covered separately in tests/test_streaming.py; this
+# query attests the ingest PARSE semantics differentially.
+_LANDING_N = 600
+_LANDING_BAD_MOD = 50
+
+
+@register(
+    "streaming_landing_ingest",
+    oracle=f"""
+    WITH src AS (SELECT i FROM generate_series(0, {_LANDING_N - 1}) t(i))
+    SELECT
+      CAST(SUM(CASE WHEN i % {_LANDING_BAD_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clean,
+      CAST(SUM(CASE WHEN i % {_LANDING_BAD_MOD} <> 0 THEN i END) AS BIGINT)
+        AS sum_item_id,
+      CAST(SUM(CASE WHEN i % {_LANDING_BAD_MOD} <> 0 THEN (i * 3) % 100 END) AS BIGINT)
+        AS sum_amount,
+      CAST(COUNT(DISTINCT CASE WHEN i % {_LANDING_BAD_MOD} <> 0 THEN i % 7 END) AS BIGINT)
+        AS n_labels,
+      CAST(SUM(CASE WHEN i % {_LANDING_BAD_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quarantined,
+      CAST(SUM(CASE WHEN i % {_LANDING_BAD_MOD} = 0 THEN
+        length('bad-' || CAST(i AS VARCHAR) || ',oops,NOT_A_NUMBER') END) AS BIGINT)
+        AS quarantine_bytes
+    FROM src
+    """,
+)
+def streaming_landing_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from ..sources.files import CORRUPT_COL
+    from ..streaming.landing import stream_landing_dir
+
+    work = tempfile.mkdtemp(prefix="spark_graft_landing_")
+    landing = os.path.join(work, "uploads")
+    os.makedirs(landing)
+    buckets: dict[int, list[str]] = {f: ["item_id,label,amount"] for f in range(3)}
+    for i in range(_LANDING_N):
+        if i % _LANDING_BAD_MOD == 0:
+            line = f"bad-{i},oops,NOT_A_NUMBER"  # item_id/amount fail the cast
+        else:
+            line = f"{i},item_{i % 7},{(i * 3) % 100}"
+        buckets[i % 3].append(line)
+    for f, lines in buckets.items():
+        with open(os.path.join(landing, f"drop_{f}.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.IntegerType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("amount", T.IntegerType()),
+        ]
+    )
+    name = "landing_ingest_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = stream_landing_dir(spark, landing, schema, fmt="csv")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory sink holds the parsed rows; the drop dir can go
+    shutil.rmtree(work, ignore_errors=True)
+
+    tbl = spark.table(name)
+    is_clean = F.col(CORRUPT_COL).isNull()
+    return tbl.agg(
+        F.sum(is_clean.cast("long")).alias("n_clean"),
+        F.sum(F.when(is_clean, F.col("item_id"))).cast("long").alias("sum_item_id"),
+        F.sum(F.when(is_clean, F.col("amount"))).cast("long").alias("sum_amount"),
+        F.countDistinct(F.when(is_clean, F.col("label"))).alias("n_labels"),
+        F.sum((~is_clean).cast("long")).alias("n_quarantined"),
+        F.sum(F.when(~is_clean, F.length(CORRUPT_COL)))
+        .cast("long")
+        .alias("quarantine_bytes"),
+    )

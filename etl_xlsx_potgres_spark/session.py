@@ -74,8 +74,16 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Settings applied when a session is handed to us by the driver.
 
     The driver owns session creation for verify runs; we only set
-    conf that is safe to change at runtime.
-    """
+    conf that is safe to change at runtime. Shuffle width matters even
+    at oracle SF: a bare session's 200-partition default turns the
+    multi-stage pipeline queries into thousands of near-empty tasks
+    whose scheduling overhead dwarfs the compute — the engine's
+    posture (core-count width + AQE coalescing) applies to verify
+    runs the same as to bench runs. Results are width-independent by
+    policy (decimal sums, fixed-point, total orders), so this is a
+    pure wall-clock change."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
     return spark
