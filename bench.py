@@ -88,6 +88,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     registry.load_all()
     names = HEADLINE if HEADLINE is not None else sorted(registry.QUERIES)
+    # the registered reference_pipeline_1200rows is the ledger twin of
+    # the faithful fan-out timed below — skip the summary variant here
+    # so the headline number stays the baseline-comparable one
+    names = [n for n in names if n != "reference_pipeline_1200rows"]
 
     # Warm the JVM/codegen path once so per-query numbers measure the
     # queries, not session startup (startup is reported separately).
@@ -97,16 +101,38 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
+
+    def run_once(name: str) -> float:
+        df = registry.QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        # queries are independent; drop any caches a query pinned so
+        # memory pressure (GC storms) from one can't distort the next
+        spark.catalog.clearCache()
+        return round(time.perf_counter() - t0, 3)
+
     for _ in range(n_runs):
         for name in names:  # pinned order every pass
-            df = registry.QUERIES[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(round(time.perf_counter() - t0, 3))
-            # queries are independent; drop any caches a query pinned so
-            # memory pressure (GC storms) from one can't distort the next
-            spark.catalog.clearCache()
+            samples[name].append(run_once(name))
+
+    # Noisy-tail escalation: a query whose sample spread exceeds 2x is
+    # dominated by suite interleaving, not by its own plan — take extra
+    # isolated samples (to N=5 total) so the median stands on its own.
+    # The residual max/min spread is reported per query in BENCH_FULL.
+    resampled = []
+    for name in names:
+        v = samples[name]
+        if len(v) >= 2 and min(v) > 0 and max(v) / min(v) > 2.0:
+            while len(samples[name]) < max(5, n_runs):
+                samples[name].append(run_once(name))
+            resampled.append(name)
+
     times = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spreads = {
+        n: round(max(v) / min(v), 2)
+        for n, v in samples.items()
+        if len(v) >= 2 and min(v) > 0
+    }
 
     # Apples-to-apples with BASELINE.md: the reference's transform
     # stage (1200-row workbook clean+dedup, measured 22.31s there)
@@ -135,7 +161,17 @@ def main() -> None:
     # JSON), so trim the inline map to the slowest queries as needed.
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
-        json.dump({**payload, "samples": samples}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                **payload,
+                "samples": samples,
+                "spread_max_over_min": spreads,
+                "resampled_to_n5": resampled,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
 
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1700:
