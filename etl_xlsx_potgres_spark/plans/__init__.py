@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     curation,
     dedup_fuzzy,
     functions_pack,
+    graph_components,
     graph_iterative,
     multimodal,
     pandas_udfs,

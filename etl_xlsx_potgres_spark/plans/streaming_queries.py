@@ -9,9 +9,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..functions.numeric import sql_msum
 from ..registry import register
 from ..streaming.events_stream import (
+    dedup_stream,
+    interval_join,
     read_events_stream,
     run_streaming_query,
     session_windows,
@@ -64,6 +68,63 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         session_windows(events), "stream_session_sink", output_mode="complete"
     )
+
+
+# Streaming exact dedup under driver attestation. The dedup key
+# includes the hour bucket so the semantics are EXACTLY oracle-able:
+# duplicates of one key differ in ts by < 1 h, well inside the 2 h
+# watermark delay, where dropDuplicatesWithinWatermark GUARANTEES the
+# drop (duplicates farther apart than the delay are only best-effort —
+# keying by bucket removes that ambiguity, which is also the honest
+# production posture: an unbounded-horizon exact dedup does not exist
+# on an infinite stream). State stays bounded: one entry per key
+# within the watermark horizon.
+@register(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts)
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "bucket", F.date_trunc("hour", "ts")
+    )
+    deduped = dedup_stream(
+        ev, ["user_id", "event_type", "bucket"], watermark="2 hours"
+    )
+    sink = run_streaming_query(
+        deduped, "stream_dedup_sink", output_mode="append"
+    )
+    return sink.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+# Stream-stream interval join (purchase <- same-user clicks at most
+# 1 h before): on a bounded replay the inner join must agree row-for-
+# row with the batch time-range join — the differential check that the
+# watermark + two-sided time bound doesn't drop or duplicate matches.
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    joined = interval_join(purchases, clicks, max_delay="1 hour", watermark="2 hours")
+    return run_streaming_query(joined, "stream_ivjoin_sink", output_mode="append")
 
 
 # Landing-directory ingest (the reference's uploads-folder intake,

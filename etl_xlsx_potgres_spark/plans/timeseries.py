@@ -130,3 +130,65 @@ def ts_daily_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
         F.countDistinct("user_id").alias("active_users"),
     )
+
+
+# Resample + gap-fill: the hypertable-style "one row per (entity,
+# bucket) even when no data arrived" operator — per-user daily grid
+# between the user's first and last activity, missing days carry
+# n_events = 0 and a forward-filled value. The grid is generated
+# plan-side (sequence + explode = DuckDB generate_series + unnest) and
+# the fill is last_value(IGNORE NULLS) over an unbounded-preceding
+# frame — both engines compute the identical frame because the daily
+# sums are decimal-exact (msum) and the (user, day) order is total.
+# At 100 TB: the grid scales with entities x buckets (not events),
+# the window partitions by entity — no single-partition sort.
+@register(
+    "ts_resample_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events,
+             {sql_msum("value", "day_value")}
+      FROM events WHERE user_id < 30
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+           d.n_events IS NULL AS is_gap,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"), msum("value", "day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("day_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )
