@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     graph_iterative,
     multimodal,
     pandas_udfs,
+    profiling,
     reference_pipeline,
     reference_surface,
     relational,
