@@ -127,6 +127,34 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(joined, "stream_ivjoin_sink", output_mode="append")
 
 
+# Custom stateful operator (applyInPandasWithState) under driver
+# attestation: the per-user running profile's count and last-seen ts
+# are exact integers/timestamps, so the FINAL state per user must
+# equal the batch aggregate. The update-mode sink may carry one row
+# per (user, micro-batch); running counts are monotone, so max() per
+# user selects the final state regardless of how the bounded replay
+# was batched. (total_value is deliberately not compared: a float
+# accumulator is not bit-reproducible across engines — the exact-sum
+# posture for money lives in the msum-based queries.)
+@register(
+    "streaming_stateful_profile",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_profile
+
+    ev = read_events_stream(spark, sf_dir)
+    sink = run_streaming_query(
+        running_user_profile(ev), "stream_stateful_sink", output_mode="update"
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("last_ts").alias("last_ts")
+    )
+
+
 # Landing-directory ingest (the reference's uploads-folder intake,
 # importador.py:7-28, as a Structured Streaming file source) under
 # driver attestation: a deterministic 3-file CSV drop — 588 clean
