@@ -51,6 +51,7 @@ _CORE_PACKAGES = (
     "etl_xlsx_potgres_spark/operators",
     "etl_xlsx_potgres_spark/functions",
     "etl_xlsx_potgres_spark/sources",
+    "etl_xlsx_potgres_spark/sinks",
     "etl_xlsx_potgres_spark/streaming",
     "etl_xlsx_potgres_spark/pipelines",
 )

@@ -25,4 +25,5 @@ from . import (  # noqa: F401
     training_data,
     udaf_pandas,
     windows_aggs,
+    xlsx_pipeline,
 )

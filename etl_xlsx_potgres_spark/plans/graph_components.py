@@ -48,7 +48,16 @@ def connected_components(edges: DataFrame, vertex_col: str = "v") -> DataFrame:
     both = edges.select(F.col("src"), F.col("dst")).union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    both = both.distinct().localCheckpoint(eager=True)
+    # Pre-partition the STATIC edge list on the join key and cache it:
+    # an InMemoryRelation preserves its hash partitioning, so every
+    # iteration's join shuffles ONLY the label side (localCheckpoint
+    # would lose the partitioning info — it rebuilds a LogicalRDD with
+    # unknown distribution — verified via explain: with the cache the
+    # edge side of the SortMergeJoin has no Exchange). Width follows
+    # the session shuffle setting (cluster-sized), not a constant.
+    w = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    both = both.distinct().repartition(w, "src").persist()
+    both.count()  # materialize the cache before the loop
     labels = (
         both.select(F.col("src").alias("v"))
         .distinct()

@@ -82,6 +82,28 @@ def read_workbook(
         headers, rows = xlsx_stdlib.read_rows(path, sheet)
         pdf = pd.DataFrame(rows, columns=headers)
     if schema is not None:
+        # pandas promotes null-bearing int columns to float64 (empty
+        # cells become NaN, values become 7.0); a declared integer
+        # field must receive int/None, not float/nan, or
+        # createDataFrame rejects the column. datetime64 columns stay
+        # native (NaT is already understood).
+        int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        for field in schema.fields:
+            c = field.name
+            if c not in pdf.columns or pd.api.types.is_datetime64_any_dtype(
+                pdf[c]
+            ):
+                continue
+            if isinstance(field.dataType, int_types):
+                # explicit object dtype: a plain map() re-coerces a
+                # None/int mix straight back to float64+nan
+                pdf[c] = pd.Series(
+                    [None if pd.isna(v) else int(v) for v in pdf[c]],
+                    dtype=object,
+                    index=pdf.index,
+                )
+            elif pdf[c].isna().any():
+                pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
         return spark.createDataFrame(pdf, schema=schema)
     return spark.createDataFrame(pdf)
 
