@@ -264,3 +264,56 @@ def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Deterministic negative sampling for contrastive training: k
+# pseudo-random negatives per anchor via the same md5-bucketing
+# portability rule as the splits — the "random" pick is
+# hex6(md5(anchor ':' j)) mod N, identical on any engine, any
+# partitioning, any rerun. Self-collisions (negative == anchor) are
+# filtered, which is also why samplers draw k+1 candidates in
+# practice; here the row simply drops and the pair set stays
+# deterministic. Scale shape: map-only expression over an exploded
+# (anchor, j) frame — no join, no shuffle; the doc_id key space is
+# contiguous by construction of the corpus (asserted by the oracle
+# producing identical ids).
+_NEG_K = 4
+
+
+def _sql_hex6_to_int(h: str) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "training_negative_samples",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (
+      SELECT doc_id, unnest(generate_series(0, {_NEG_K - 1})) AS j
+      FROM documents
+    )
+    SELECT doc_id, j,
+           {_sql_hex6_to_int("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")}
+             % (SELECT n_docs FROM n) AS neg_id
+    FROM anchors
+    WHERE {_sql_hex6_to_int("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR))")}
+             % (SELECT n_docs FROM n) <> doc_id
+    """,
+)
+def training_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    anchors = d.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(j) for j in range(_NEG_K)])).alias("j"),
+    )
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string"))
+    )
+    neg = (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % n).alias("neg_id")
+    return anchors.select("doc_id", "j", neg).filter(F.col("neg_id") != F.col("doc_id"))
