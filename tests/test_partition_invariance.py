@@ -1,0 +1,51 @@
+"""Partition-width invariance: the determinism policy (decimal sums,
+md5 bucketing, min/max lattices, total orders) claims results are
+independent of HOW the data is partitioned. The oracle gate only ever
+runs at one width — this test re-runs a representative set of the
+newest operators at a different shuffle width and requires
+bit-identical results, catching any accidental dependence on
+partition count (e.g. a raw float sum or a per-partition id) before
+it ships.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_xlsx_potgres_spark import registry
+
+from .oracle_utils import assert_frames_match
+
+registry.load_all()
+
+# batch queries added in r8 (streaming ones replay through memory
+# sinks with their own width pinning — covered by their oracles)
+NAMES = [
+    "ts_resample_ffill",
+    "emb_label_centroids",
+    "events_funnel_signup_purchase",
+    "training_negative_samples",
+    "quality_profile_orders",
+    "dedup_connected_components",
+    # older operators whose mechanics are most partition-sensitive:
+    # iterative fixed-point, Arrow grouped-map UDAF, cogrouped asof
+    "graph_pagerank_trade",
+    "udaf_price_trend_per_customer",
+    "join_asof_cogrouped",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_result_independent_of_shuffle_width(name, spark, sf_dir):
+    fn = registry.QUERIES[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        wide = fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+    assert_frames_match(wide, narrow, f"{name}@width8-vs-3")
