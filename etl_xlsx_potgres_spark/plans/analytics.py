@@ -294,3 +294,36 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov.cast("double") / n_tok).alias("oov_rate"),
         )
     )
+
+
+# Event-sequence transition counts (the bigram / Markov-chain
+# primitive behind behavioral analytics and next-action models):
+# lag() over a per-user total order -> (prev_type, type) pair counts.
+# The tiebreak on event_id makes the sequence a total order, so the
+# transition multiset is engine- and partitioning-independent. Scale
+# shape: one shuffle to order per-user (window partitioned by user,
+# never a global sort), then a partial-aggregating pair count.
+@register(
+    "events_type_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -23,7 +23,7 @@ registry.load_all()
 NAMES = [
     "ts_resample_ffill",
     "emb_label_centroids",
-    "events_funnel_signup_purchase",
+    "events_funnel_conversion",
     "training_negative_samples",
     "quality_profile_orders",
     "dedup_connected_components",
