@@ -64,6 +64,7 @@ def connected_components(edges: DataFrame, vertex_col: str = "v") -> DataFrame:
         .withColumn("component", F.col("v"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(MAX_ITER):
         # neighbor labels: edge (src -> dst) carries src's label to dst
         incoming = (
@@ -89,6 +90,14 @@ def connected_components(edges: DataFrame, vertex_col: str = "v") -> DataFrame:
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # fail loudly: silently-partial clusters would keep duplicate
+        # documents (wrong dedup decisions) with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ITER} "
+            f"iterations ({n_changed} labels still changing); the graph "
+            "diameter exceeds the bound — raise MAX_ITER for this input"
+        )
     return labels.withColumnRenamed("v", vertex_col)
 
 
