@@ -1,4 +1,5 @@
 from .jdbc import JdbcTarget, append, build_upsert_sql, upsert_insert_if_absent
+from .partitioned import write_partitioned
 from .quarantine import write_quarantine
 
 __all__ = [
