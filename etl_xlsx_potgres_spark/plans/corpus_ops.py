@@ -482,3 +482,195 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. BPE merge-pair counting — the first iteration of byte-pair-
+# encoding tokenizer training: count adjacent character pairs inside
+# every word across the corpus and surface the top merge candidates.
+# Map-only explode + one count shuffle; the global top-k is
+# sort + limit over the (tiny) pair-vocabulary frame.
+@register(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, length(w) - 1), i -> substring(w, i, 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    ),
+    counted AS (
+      SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, rank FROM (
+      SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+      FROM counted
+    ) WHERE rank <= 20
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs within words — the BPE merge
+    table's first entry. Words shorter than 2 chars are excluded
+    explicitly (Spark's ``sequence(1, 0)`` counts DOWN, DuckDB's
+    ``generate_series(1, 0)`` is empty — the guard keeps both engines
+    off that divergence)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.desc("n"), "pair").limit(20)
+    from ..operators.ids import global_row_number
+
+    return global_row_number(top, [F.desc("n"), F.asc("pair")], "rank").select(
+        "pair", "n", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Inverted-index construction with salted two-phase top-k postings.
+# The naive plan (window over term, keep rn<=10) sorts EVERY posting of
+# a hot term in one task — the textbook skew wall at 100 TB. The
+# salted shape bounds it: phase 1 takes a local top-10 within each of
+# 64 salt shards of a term (each shard ~1/64 of the postings), phase 2
+# re-ranks the <=640 survivors per term. Identical result (top-k is
+# associative under the (tf DESC, doc_id) total order), bounded memory.
+POSTINGS_K = 10
+_SALTS = 64
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             row_number() OVER (
+               PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+      FROM tf
+    )
+    SELECT term,
+           CAST(MAX(df) AS BIGINT) AS df,
+           list(doc_id ORDER BY rn) AS postings
+    FROM (
+      SELECT r.term, r.doc_id, r.rn, d.df
+      FROM ranked r
+      JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) d USING (term)
+      WHERE r.rn <= {POSTINGS_K}
+    )
+    GROUP BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document-frequency + top-{POSTINGS_K} posting list
+    (by tf, doc_id-tiebroken), built with the salt-sharded two-phase
+    top-k so no single task ever sorts a hot term's full posting
+    list."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    salted = tf.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_SALTS)))
+    w_local = Window.partitionBy("term", "salt").orderBy(F.desc("tf"), "doc_id")
+    survivors = (
+        salted.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= POSTINGS_K)
+        .drop("salt", "lrn")
+    )
+    w_global = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    top = (
+        survivors.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") <= POSTINGS_K)
+    )
+    return (
+        top.join(dfreq, "term")
+        .groupBy("term")
+        .agg(
+            F.max("df").cast("long").alias("df"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda s: s.doc_id,
+            ).alias("postings"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. One power-iteration step on the (uncentered) covariance X^T X —
+# the distributed matvec behind PCA/spectral embedding analysis.
+# w = X^T (X v0) with deterministic v0 = (1/8, ..., 1/8): the per-row
+# projection is a sequential fold; the cross-row per-dimension sums go
+# through the nano-unit integer grid so the reduce is exact.
+_V0 = 1.0 / 8.0  # unit-norm uniform start vector for 64 dims
+
+_PROJ_SPARK = f"""
+aggregate(
+  transform(embedding, x -> cast(x as double) * {_V0!r}D),
+  0D, (a, t) -> a + t)
+"""
+
+_PROJ_DUCK = f"""
+list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * {_V0!r}))
+"""
+
+
+@register(
+    "emb_covariance_power_step",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {_PROJ_DUCK} AS s FROM embeddings
+    ),
+    terms AS (
+      SELECT unnest(generate_series(1, {EMB_DIM})) AS dim,
+             unnest(list_transform(generate_series(1, {EMB_DIM}),
+               i -> CAST(floor(s * CAST(embedding[i] AS DOUBLE)
+                               * 1000000000.0) AS BIGINT))) AS t
+      FROM proj
+    )
+    SELECT dim, CAST(SUM(t) AS BIGINT) AS w_nano,
+           CAST(SUM(t) AS BIGINT) / 1000000000.0 AS w
+    FROM terms GROUP BY dim
+    """,
+)
+def emb_covariance_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed matvec w = X^T(X v0): per-row projection
+    (map-only fold), then a 64-group per-dimension exact integer
+    reduce — partial aggregation makes the shuffle 64 rows per map
+    task regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", "embedding", F.expr(_PROJ_SPARK).alias("s"))
+    terms = proj.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {EMB_DIM}),"
+                f" i -> cast(floor(s * cast(element_at(embedding, i) as double)"
+                f" * 1000000000.0) as bigint))"
+            )
+        ).alias("dim0", "t")
+    ).select((F.col("dim0") + 1).cast("long").alias("dim"), "t")
+    return (
+        terms.groupBy("dim")
+        .agg(F.sum("t").cast("long").alias("w_nano"))
+        .select(
+            "dim",
+            "w_nano",
+            (F.col("w_nano") / F.lit(1.0e9)).alias("w"),
+        )
+    )
