@@ -100,13 +100,21 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
-    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    # One tokenize+explode pass total: collapse to one row per
+    # (seg, doc) first (the only corpus-wide shuffle), persist that
+    # much smaller frame, and derive BOTH the per-segment doc
+    # frequency and the per-doc rollup from it — the same
+    # single-scan discipline as text_oov_rate.
+    per = segs.groupBy("seg", "doc_id").agg(F.count(F.lit(1)).alias("k")).persist()
+    freq = per.groupBy("seg").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(0)
+    ).cast("long")
     return (
-        segs.join(freq, "seg")
+        per.join(freq, "seg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("k").cast("long").alias("n_segments"),
             dup.alias("n_dup_segments"),
         )
         .select(
@@ -188,8 +196,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives from the (already per-doc-distinct) tf frame — one
+    # explode pass, one shuffle, no second corpus tokenize.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_grid = (
         F.floor(
             F.log(
@@ -274,7 +284,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle), never broadcast; only the 1-row total is."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # One explode pass: the (doc, term) tf frame is the only
+    # corpus-wide shuffle; the vocabulary (c = sum of tf) and the
+    # corpus total both derive from it.
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
     total = vocab.agg(F.sum("c").cast("long").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",
@@ -285,7 +299,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lp_micro"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tf.join(lp, "term")
         .groupBy("doc_id")
@@ -584,7 +597,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     list."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is per-doc-distinct, so df = row count per term — both the
+    # frequency table and the posting ranking reuse the ONE persisted
+    # tf shuffle (no second corpus tokenize).
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     salted = tf.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_SALTS)))
