@@ -74,9 +74,12 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("ct").cast("double")
         / F.col("n").cast("double")
     )
+    # no hints on the marginals: lang is enum-bounded but the source
+    # registry can grow with the corpus — AQE broadcasts both at any
+    # realistic size and falls back to a shuffle join if one explodes
     return (
-        o.join(F.broadcast(r), "lang")
-        .join(F.broadcast(c), "source")
+        o.join(r, "lang")
+        .join(c, "source")
         .crossJoin(F.broadcast(n))
         .select(
             "lang",

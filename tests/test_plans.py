@@ -165,6 +165,16 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "frame",                          # the guarded hints' own parameter
                                           # (_size_aware_broadcast in dedup_fuzzy,
                                           # _gated_vector_hint in graph_iterative)
+        "dfreq",                          # BM25 per-term df (<= |BM25_TERMS| = 3
+                                          # rows by the isin filter)
+        "stats",                          # 1-row corpus stats aggregate (BM25)
+        "arrs",                           # 1-row per-dimension range arrays
+                                          # (emb_scalar_quantize, 2 x 64 doubles)
+        "seeds",                          # k-means seed set (K = 10 rows by the
+                                          # vec_id < K filter)
+        "med", "mad",                     # per-event-type medians/MADs —
+                                          # enum-bounded key (constant handful of
+                                          # event types at any corpus size)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     # capture the leading identifier chain of the hinted frame
