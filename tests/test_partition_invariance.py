@@ -32,6 +32,16 @@ NAMES = [
     "graph_pagerank_trade",
     "udaf_price_trend_per_customer",
     "join_asof_cogrouped",
+    # r8b additions with the most partition-sensitive mechanics:
+    # iterative centroid rebuild (sorted-collect), persisted-frame
+    # reuse, salted two-phase top-k, integer matvec reduce,
+    # hash-keyed top-k sample, selection-based medians
+    "emb_kmeans_iterations",
+    "dedup_corpus_segments",
+    "text_inverted_index",
+    "emb_covariance_power_step",
+    "sample_weighted_det",
+    "ts_mad_outliers",
 ]
 
 
