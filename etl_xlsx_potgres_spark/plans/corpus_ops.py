@@ -85,7 +85,13 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document fraction of token segments that also appear in at
     least one OTHER document — the filter signal behind corpus-level
     duplicated-span removal. One shuffle on the segment hash (the
-    frequency table), one equi-join back, one doc_id aggregate."""
+    frequency table), one equi-join back, one doc_id aggregate.
+
+    Scale note: the shuffle key here is the segment TEXT so the
+    DuckDB oracle can reproduce it exactly; at corpus scale the key
+    should be ``xxhash64(seg)`` (64-bit, collision odds ~n^2/2^65 —
+    negligible for a dedup signal), which shrinks shuffle width to 8
+    bytes/row. The plan shape is identical either way."""
     d = load_table(spark, sf_dir, "documents")
     segs = (
         d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks"))
