@@ -1,0 +1,59 @@
+"""Shuffle-count budgets for the r8b operators: every Exchange in a
+plan is a corpus-wide (or at least frame-wide) data movement, and the
+counts below are the audited minimum for each query's semantics. A
+regression that adds an Exchange (a lost partitioning reuse, an
+accidental repartition, a broadcast that degraded to shuffle at test
+SF) fails here before it ships.
+
+Deliberate non-optimization, recorded: for the tf-style composite-key
+aggregates (``groupBy(doc_id, term)`` / ``groupBy(seg, doc_id)``),
+pre-partitioning on the single join key WOULD satisfy Spark's
+ClusteredDistribution and drop one Exchange — but it concentrates
+every row of a hot term/segment into one task, exactly the skew the
+both-key partial aggregate spreads. The extra Exchange is the price
+of skew resistance; AQE's skew-join handles the join side.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from etl_xlsx_potgres_spark import registry
+
+registry.load_all()
+
+# measured on the audited plans (sf-independent: plan shape, not data)
+BUDGETS = {
+    "dedup_corpus_segments": 3,       # (seg,doc) agg + seg freq + doc rollup
+    "text_unigram_logprob": 5,        # tf agg + vocab agg + term join + doc rollup
+    "emb_scalar_quantize": 2,         # dim stats + 1-row collect
+    "emb_kmeans_step": 2,             # argmin window + K-row aggregate
+    "text_bpe_pair_counts": 9,        # pair count + top-k + global_row_number plumbing (tiny frames)
+    "text_inverted_index": 4,         # tf agg + (term,salt) window + term window + df
+    "emb_covariance_power_step": 1,   # the 64-group matvec reduce
+    "ts_mad_outliers": 4,             # 2 selection windows + 2 joins/rollup
+    "zorder_locality_stats": 1,       # one 256-group partial agg
+    "emb_kmeans_iterations": 2,       # final iteration only (earlier ones checkpointed)
+    "stats_chi2_lang_source": 7,      # cell agg + 3 marginals + joins (constant-size frames)
+    "quality_benford_prices": 3,      # 9-group agg + 1-row total + join
+    "sample_weighted_det": 6,         # top-k + global_row_number plumbing (<=20-row frames)
+    "text_bm25_search": 16,           # tf/df/dl/stats joins + top-k + rank plumbing;
+                                      # the corpus-scale ones are tf agg + dl join only
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_count_within_budget(name, spark, sf_dir):
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    n = len(set(re.findall(r"\((\d+)\) Exchange", buf.getvalue())))
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} Exchanges, budget {BUDGETS[name]} — a shuffle was "
+        f"added since the plan audit"
+    )
