@@ -58,6 +58,7 @@ EMB_DIM = 64
     oracle=f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+      WHERE len({_DUCK_TOKENS}) > 0
     ),
     segs AS (
       SELECT doc_id,
@@ -93,8 +94,13 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible for a dedup signal), which shrinks shuffle width to 8
     bytes/row. The plan shape is identical either way."""
     d = load_table(spark, sf_dir, "documents")
+    # zero-token/NULL-text guard: Spark's sequence(0, -1) counts DOWN
+    # (two bogus segments) where DuckDB's generate_series(0, -1) is
+    # empty — filtering tokenless docs on BOTH sides keeps the
+    # engines aligned whatever the fixture contains
     segs = (
         d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks"))
+        .filter(F.size("toks") > 0)
         .select(
             "doc_id",
             F.explode(
@@ -150,7 +156,7 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
     WITH toks AS (
       SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
     ),
-    dl AS (SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents),
+    dl AS (SELECT doc_id, COALESCE(len({_DUCK_TOKENS}), 0) AS dl FROM documents),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
@@ -197,7 +203,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term")
     ).filter(F.col("term").isin(*BM25_TERMS))
-    dl = d.select("doc_id", F.expr(f"size({_SPARK_TOKENS})").cast("long").alias("dl"))
+    # greatest(.., 0): Spark size(NULL) is -1 where DuckDB len(NULL)
+    # is NULL — both normalize to 0 so avgdl agrees on any fixture
+    dl = d.select(
+        "doc_id",
+        F.greatest(F.expr(f"size({_SPARK_TOKENS})"), F.lit(0))
+        .cast("long")
+        .alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
