@@ -461,15 +461,18 @@ list_sum(list_transform(generate_series(1, {EMB_DIM}), i ->
 @register(
     "emb_kmeans_step",
     oracle=f"""
-    WITH seeds AS (
-      SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding AS sv FROM vecs
       WHERE vec_id < {KMEANS_K}
     ),
     assign AS (
       SELECT e.vec_id, s.seed_id, {_D2_DUCK} AS d2,
              row_number() OVER (
                PARTITION BY e.vec_id ORDER BY {_D2_DUCK}, s.seed_id) AS rn
-      FROM embeddings e CROSS JOIN seeds s
+      FROM vecs e CROSS JOIN seeds s
     )
     SELECT seed_id AS cluster_id,
            COUNT(*) AS n_members,
@@ -486,7 +489,11 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     report per-cluster size + inertia. The K-row seed set is a
     constant-size broadcast; the only shuffle is the K-row aggregate
     (plus the per-vector argmin window on vec_id)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL vectors out on both sides: a NULL distance in the argmin
+    # window sorts NULLS FIRST in Spark, NULLS LAST in DuckDB
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
     )

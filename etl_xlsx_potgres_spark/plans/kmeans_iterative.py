@@ -60,7 +60,7 @@ def _duck_oracle() -> str:
     c0 AS (
       SELECT vec_id AS cid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings WHERE vec_id < {K}
+      FROM embeddings WHERE vec_id < {K} AND embedding IS NOT NULL
     )"""
     ]
     for it in range(1, ITERS + 1):
@@ -68,7 +68,8 @@ def _duck_oracle() -> str:
         parts.append(f"""
     a{it} AS (
       SELECT e.vec_id, s.cid, e.embedding
-      FROM embeddings e CROSS JOIN {prev} s
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL) e CROSS JOIN {prev} s
       QUALIFY row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {_duck_d2("e.embedding", "s.cv")}, s.cid) = 1
@@ -155,7 +156,12 @@ def _recenter(assigned: DataFrame) -> DataFrame:
 def emb_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{ITERS} Lloyd iterations from deterministic seeds; returns the
     final per-cluster membership and exact micro-unit inertia."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL vectors out on both sides (argmin NULL-ordering divergence)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
     cents = emb.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("cv"),

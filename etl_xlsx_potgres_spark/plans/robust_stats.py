@@ -33,12 +33,15 @@ _MAD_CUT = 4.4478
 @register(
     "ts_mad_outliers",
     oracle=f"""
-    WITH ranked AS (
+    WITH ev AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
       SELECT event_type, event_id, value,
              row_number() OVER (
                PARTITION BY event_type ORDER BY value, event_id) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
+      FROM ev
     ),
     med AS (
       SELECT event_type, value AS median, n
@@ -47,7 +50,7 @@ _MAD_CUT = 4.4478
     dev AS (
       SELECT e.event_type, e.event_id, abs(e.value - m.median) AS dev,
              m.median, m.n
-      FROM events e JOIN med m USING (event_type)
+      FROM ev e JOIN med m USING (event_type)
     ),
     dev_ranked AS (
       SELECT event_type, dev, median, n,
@@ -75,8 +78,13 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: exact lower-median, MAD, and the count of
     values deviating more than ~3 robust sigmas — all via element
     selection, bit-identical across engines."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type", "event_id", "value"
+    # NULL measurements are excluded on BOTH sides: besides being
+    # meaningless to an outlier gate, a NULL sort key diverges
+    # between engines (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wc = Window.partitionBy("event_type")
