@@ -102,7 +102,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--tables", default=None,
+                    help="comma list: replicate only these (others copied 1x)")
+    ap.add_argument("--queries", default=None, help="comma list subset")
     args = ap.parse_args()
+    if args.tables:
+        keep = set(args.tables.split(","))
+        for t in list(OFFSETS):
+            if t not in keep:
+                OFFSETS[t] = {}
+    if args.queries:
+        QUERIES[:] = args.queries.split(",")
 
     registry.load_all()
     spark = get_spark(app_name="scale-probe")
