@@ -33,6 +33,7 @@ ARROW_PYTHON_OK = {
     "mm_decode_image_real",
     "mm_decode_audio_real",
     "mm_frame_sample",                 # downstream of decode stage
+    "mm_binaryfile_ingest",            # binaryFile drop -> mapInPandas decode
     "ann_ml_brp_lsh",                  # MLlib LSH model transform
 }
 
