@@ -48,6 +48,10 @@ BUDGETS = {
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_exchange_count_within_budget(name, spark, sf_dir):
+    # earlier tests leave persisted frames in the CacheManager, which
+    # substitutes InMemoryRelation into matching subtrees and changes
+    # the Exchange census — measure the cold plan
+    spark.catalog.clearCache()
     df = registry.QUERIES[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
