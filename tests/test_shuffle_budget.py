@@ -43,16 +43,36 @@ BUDGETS = {
     "sample_weighted_det": 6,         # top-k + global_row_number plumbing (<=20-row frames)
     "text_bm25_search": 16,           # tf/df/dl/stats joins + top-k + rank plumbing;
                                       # the corpus-scale ones are tf agg + dl join only
+    # the suite's most expensive pre-existing queries — where an added
+    # shuffle costs most (counts from the same cold-plan audit)
+    "dedup_levenshtein_pigeonhole": 5,
+    "curation_pipeline_stats": 9,
+    "reference_pipeline_1200rows": 56,  # 4-output fan-out pipeline
+    "dedup_embedding_neardup": 0,       # label-blocked broadcast pairs
+    "dedup_embedding_lsh": 1,
+    "dedup_simhash_signatures": 1,
+    "text_oov_rate": 11,
+    "dedup_ngram_jaccard": 4,
+    "dedup_minhash_lsh_pairs": 2,
+    "agg_percentiles": 1,
+    "skew_salted_join": 2,
+    "contamination_train_test": 7,
 }
 
 
+# pinned SF: the census is a plan-shape property, and AQE flips
+# broadcast<->shuffle choices with data size — measuring at a fixed SF
+# keeps the budgets stable under TEST_SF_DIR overrides
+_BUDGET_SF = "/root/testdata/sf0.001"
+
+
 @pytest.mark.parametrize("name", sorted(BUDGETS))
-def test_exchange_count_within_budget(name, spark, sf_dir):
+def test_exchange_count_within_budget(name, spark):
     # earlier tests leave persisted frames in the CacheManager, which
     # substitutes InMemoryRelation into matching subtrees and changes
     # the Exchange census — measure the cold plan
     spark.catalog.clearCache()
-    df = registry.QUERIES[name](spark, sf_dir)
+    df = registry.QUERIES[name](spark, _BUDGET_SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
