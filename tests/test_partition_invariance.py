@@ -42,6 +42,10 @@ NAMES = [
     "emb_covariance_power_step",
     "sample_weighted_det",
     "ts_mad_outliers",
+    # r8c additions: distinct-agg two-phase on the window key, and a
+    # write->read->aggregate roundtrip (decimal-sum policy through ORC)
+    "dedup_substring_windows",
+    "orc_roundtrip_ingest",
 ]
 
 

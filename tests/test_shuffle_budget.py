@@ -57,6 +57,11 @@ BUDGETS = {
     "agg_percentiles": 1,
     "skew_salted_join": 2,
     "contamination_train_test": 7,
+    # r8c additions
+    "text_char_entropy": 0,           # map-only: fixed-alphabet histogram, no explode
+    "dedup_substring_windows": 2,     # distinct-agg two-phase on the md5 window key
+    "xml_roundtrip_ingest": 0,        # read-back is a pure scan
+    "orc_roundtrip_ingest": 1,        # one partial+final agg over the ORC scan
 }
 
 
