@@ -46,6 +46,9 @@ NAMES = [
     # write->read->aggregate roundtrip (decimal-sum policy through ORC)
     "dedup_substring_windows",
     "orc_roundtrip_ingest",
+    # order-pinned sequential double fold inside a collect — the most
+    # partition-sensitive arithmetic shape in the suite
+    "ts_ewma_by_user_type",
 ]
 
 

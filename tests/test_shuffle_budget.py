@@ -62,6 +62,8 @@ BUDGETS = {
     "dedup_substring_windows": 2,     # distinct-agg two-phase on the md5 window key
     "xml_roundtrip_ingest": 0,        # read-back is a pure scan
     "orc_roundtrip_ingest": 1,        # one partial+final agg over the ORC scan
+    "fn_url_pack": 0,                 # parse_url projection, map-only
+    "ts_ewma_by_user_type": 1,        # one groupBy; the fold is in-expression
 }
 
 
