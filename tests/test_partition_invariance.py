@@ -49,6 +49,9 @@ NAMES = [
     # order-pinned sequential double fold inside a collect — the most
     # partition-sensitive arithmetic shape in the suite
     "ts_ewma_by_user_type",
+    # order-sensitive sequence digest downstream of a persisted
+    # explode + broadcast vocab join
+    "text_encode_ids",
 ]
 
 
