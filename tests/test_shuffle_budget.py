@@ -68,6 +68,8 @@ BUDGETS = {
     "text_encode_ids": 10,            # corpus-scale: term agg + doc regroup; rest is
                                       # constant-K vocab top-k/global_row_number plumbing
     "win_distribution_pack": 1,       # one hash partition by priority
+    "subquery_recursive_chain": 0,    # recursion executes inside UnionLoop;
+                                      # census sees the outer plan only
 }
 
 
