@@ -52,6 +52,9 @@ NAMES = [
     # order-sensitive sequence digest downstream of a persisted
     # explode + broadcast vocab join
     "text_encode_ids",
+    # float closed-form over exact fixed-point sums — the claim is
+    # precisely partition-order independence
+    "stats_correlation_matrix",
 ]
 
 

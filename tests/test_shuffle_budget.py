@@ -70,6 +70,7 @@ BUDGETS = {
     "win_distribution_pack": 1,       # one hash partition by priority
     "subquery_recursive_chain": 0,    # recursion executes inside UnionLoop;
                                       # census sees the outer plan only
+    "stats_correlation_matrix": 1,    # one pass -> 1-row sufficient stats
 }
 
 
