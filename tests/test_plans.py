@@ -175,6 +175,9 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "med", "mad",                     # per-event-type medians/MADs —
                                           # enum-bounded key (constant handful of
                                           # event types at any corpus size)
+        "rows",                           # count-min hash-row index (D = 3 rows)
+        "cells",                          # count-min grid (<= D*W = 192 cells
+                                          # by construction, data-size-free)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     # capture the leading identifier chain of the hinted frame
