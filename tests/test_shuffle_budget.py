@@ -71,6 +71,9 @@ BUDGETS = {
     "subquery_recursive_chain": 0,    # recursion executes inside UnionLoop;
                                       # census sees the outer plan only
     "stats_correlation_matrix": 1,    # one pass -> 1-row sufficient stats
+    "fn_variant_pack": 0,             # parse_json/variant_get projection
+    "script_threshold_ladder": 0,     # probes run inside the script; the
+                                      # result frame is the final SELECT
 }
 
 
