@@ -68,12 +68,17 @@ BUDGETS = {
     "text_encode_ids": 10,            # corpus-scale: term agg + doc regroup; rest is
                                       # constant-K vocab top-k/global_row_number plumbing
     "win_distribution_pack": 1,       # one hash partition by priority
-    "subquery_recursive_chain": 0,    # recursion executes inside UnionLoop;
-                                      # census sees the outer plan only
+    "subquery_recursive_chain": 2,    # seed/step join exchanges against the
+                                      # cached rank index; per-level joins
+                                      # execute inside UnionLoop
     "stats_correlation_matrix": 1,    # one pass -> 1-row sufficient stats
     "fn_variant_pack": 0,             # parse_json/variant_get projection
     "script_threshold_ladder": 0,     # probes run inside the script; the
                                       # result frame is the final SELECT
+    "join_bucketed_colocated": 1,     # agg only — the join itself reads
+                                      # co-bucketed layout with no Exchange
+                                      # (asserted broadcast-free in
+                                      # tests/test_bucketing.py)
 }
 
 
