@@ -6,6 +6,10 @@ Exchange on either side (the shuffle is paid once at write time,
 amortized over every downstream join; this is the layout-as-operator
 counterpart of ``plans/zorder.py``).
 
+Reference lifecycle note: the reference re-resolves FKs per load
+(``etl_process.py:40-75``); bucketing is the at-scale answer to
+"joined on the same key by every query".
+
 The query provisions bucketed external copies of orders and lineitem
 (fixed per-SF warehouse path, idempotent overwrite, catalog entry
 re-registered per session since the in-memory catalog does not

@@ -7,6 +7,10 @@ depth fixed (8) regardless of data size — recursion cost is
 (levels x per-level join), and unbounded chains would tie wall-time
 to the longest chain in the data.
 
+Reference lifecycle note: the reference has no recursive surface;
+its FK-ordered load sequence (``importador.py:29-56``) is the closest
+analogue of dependency-ordered traversal.
+
 Why this exists next to the window running total
 (``win_running_total``): window frames express PREFIX aggregates
 only; true recursion also covers state machines and conditional

@@ -17,6 +17,10 @@ satisfying the predicate. Same data, two fundamentally different
 formulations — agreement pins the scripting engine's loop/variable
 semantics against ground truth.
 
+Reference lifecycle note: the reference drives its loop logic from
+Python (``importador.py:29-56`` iterates files imperatively); SQL
+scripting moves the equivalent control flow into the engine.
+
 Scale: each iteration is a full-pushdown aggregate scan; iterations
 are log2(start/final) — a handful — and nothing accumulates state
 beyond three session variables.

@@ -14,6 +14,9 @@ order on both sides; sqrt is IEEE correctly-rounded, so the doubles
 agree bit-for-bit — the matrix is partition-invariant by
 construction (the property ``test_partition_invariance`` asserts).
 
+Reference lifecycle note: the reference computes no statistics
+(``etl_process.py:1-235``); this extends the profiling/audit pack.
+
 Scale: ONE aggregate over lineitem producing a constant-size (1-row)
 statistics frame; the matrix arithmetic happens on that single row.
 No second pass, no per-pair scans — adding columns grows the

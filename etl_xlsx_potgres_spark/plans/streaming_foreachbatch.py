@@ -12,6 +12,10 @@ batch answer. A merge bug (lost partial, double-merged bucket,
 unscoped overwrite dropping history) flips counts or fixed-point
 sums and fails the hash.
 
+Reference lifecycle note: the reference appends per-file batches to
+Postgres (``importador.py:29-56``, ``etl_process.py:75``); the
+continuous aggregate is that batch-append model made incremental.
+
 Scale: refresh cost per micro-batch tracks the batch's time span,
 never the store's history (semi-join scoping); the store is
 bucket-partitioned parquet, so downstream reads prune by time. The

@@ -15,6 +15,9 @@ higher-order function inside codegen — no Python. At 100 TB the group
 key (user, event_type) bounds state to one entity's history, and the
 single shuffle is the groupBy.
 
+Reference lifecycle note: the reference has no time-series stage
+(``etl_process.py:1-235``); EWMA extends the driver-mandated ts pack.
+
 Determinism: both engines fold IN THE SAME ORDER (total order by
 (ts, event_id)) with the same double arithmetic, so the result is
 bit-identical — no rounding needed. DuckDB's ``list_reduce`` has no

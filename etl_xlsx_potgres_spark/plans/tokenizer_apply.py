@@ -4,6 +4,10 @@ learning: ``text_vocabulary`` ranks terms, ``text_bpe_pair_counts``
 learns merges; this query maps every document to its id sequence
 against the learned top-K vocabulary, OOV -> 0).
 
+Reference lifecycle note: the reference engine has no tokenizer
+stage (``etl_process.py:1-235``); this is north-star surface for the
+driver-mandated LLM-curation pack.
+
 Plan shape for 100 TB: ONE tokenize pass (the positional token frame
 is persisted and feeds both vocabulary ranking and the encode join —
 the single-shuffle-reuse discipline from ``corpus_ops``), the vocab

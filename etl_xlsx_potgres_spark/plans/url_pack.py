@@ -11,6 +11,10 @@ The round-trip through synthesize -> parse is what's attested: a
 parse_url component that disagreed with the regex ground truth
 (scheme/host/path/query/param/registered-domain) fails the hash.
 
+Reference lifecycle note: the reference engine (a pandas->Postgres
+loader, ``etl_process.py:1-235``) has no URL stage; this extends the
+driver-mandated text/curation pack.
+
 At 100 TB this is a pure projection (zero shuffles); domain-level
 rollups downstream group on the extracted registered domain exactly
 like ``mixture_weights_by_source`` groups on ``source``.

@@ -16,6 +16,10 @@ values against ground truth. ``props`` (the fixture's own JSON
 column) is also extracted both natively and via the variant path and
 cross-checked in-row.
 
+Reference lifecycle note: the reference has no semi-structured
+surface (``etl_process.py:1-235`` is fixed-schema pandas); VARIANT is
+north-star Spark 4 surface for heterogeneous event payloads.
+
 Map-only projection; zero shuffles, zero Python.
 """
 

@@ -5,6 +5,10 @@ in ``windows_aggs``). These are the normalization primitives feature
 pipelines use for rank-based scaling (percent_rank is the ECDF
 transform; cume_dist the inclusive variant).
 
+Reference lifecycle note: no window surface exists in the reference
+(row-at-a-time pandas, ``etl_process.py:1-235``); this completes the
+ANSI window family alongside ``windows_aggs``.
+
 Determinism: the window's ORDER BY is a TOTAL order
 ((o_totalprice, o_orderkey)), so every rank-family output is unique
 and engine-independent; percent_rank/cume_dist are then exact ratios
