@@ -55,6 +55,8 @@ NAMES = [
     # float closed-form over exact fixed-point sums — the claim is
     # precisely partition-order independence
     "stats_correlation_matrix",
+    # argmin over per-row double folds + floored micro-unit sums
+    "emb_pq_encode",
 ]
 
 

@@ -176,6 +176,8 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # enum-bounded key (constant handful of
                                           # event types at any corpus size)
         "rows",                           # count-min hash-row index (D = 3 rows)
+        "codebook",                       # PQ codebook (M*K = 32 rows by the
+                                          # vec_id < K seed filter)
         "cells",                          # count-min grid (<= D*W = 192 cells
                                           # by construction, data-size-free)
     }

@@ -79,6 +79,8 @@ BUDGETS = {
                                       # co-bucketed layout with no Exchange
                                       # (asserted broadcast-free in
                                       # tests/test_bucketing.py)
+    "emb_pq_encode": 2,               # (vec,m) argmin window + code pivot agg
+    "csv_quarantine_ingest": 1,       # 1-row quarantine-count broadcast back
 }
 
 
