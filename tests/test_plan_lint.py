@@ -34,6 +34,8 @@ ARROW_PYTHON_OK = {
     "mm_decode_audio_real",
     "mm_frame_sample",                 # downstream of decode stage
     "mm_binaryfile_ingest",            # binaryFile drop -> mapInPandas decode
+    "mm_audio_features",               # mapInPandas WAV feature extraction
+    "mm_image_resize",                 # mapInPandas BMP parse + downsample
     "ann_ml_brp_lsh",                  # MLlib LSH model transform
 }
 

@@ -81,6 +81,8 @@ BUDGETS = {
                                       # tests/test_bucketing.py)
     "emb_pq_encode": 2,               # (vec,m) argmin window + code pivot agg
     "csv_quarantine_ingest": 1,       # 1-row quarantine-count broadcast back
+    "mm_audio_features": 0,           # synthesize + mapInPandas, map-only
+    "mm_image_resize": 0,             # synthesize + mapInPandas, map-only
 }
 
 
