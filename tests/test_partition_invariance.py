@@ -57,6 +57,8 @@ NAMES = [
     "stats_correlation_matrix",
     # argmin over per-row double folds + floored micro-unit sums
     "emb_pq_encode",
+    # lead-window bigrams + floored micro-nat model join
+    "text_bigram_logprob",
 ]
 
 

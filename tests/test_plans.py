@@ -178,6 +178,8 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "rows",                           # count-min hash-row index (D = 3 rows)
         "codebook",                       # PQ codebook (M*K = 32 rows by the
                                           # vec_id < K seed filter)
+        "v",                              # 1-row vocabulary-size aggregate
+                                          # (bigram LM smoothing denominator)
         "cells",                          # count-min grid (<= D*W = 192 cells
                                           # by construction, data-size-free)
     }

@@ -83,6 +83,9 @@ BUDGETS = {
     "csv_quarantine_ingest": 1,       # 1-row quarantine-count broadcast back
     "mm_audio_features": 0,           # synthesize + mapInPandas, map-only
     "mm_image_resize": 0,             # synthesize + mapInPandas, map-only
+    "text_bigram_logprob": 6,         # pos window + bigram/unigram counts +
+                                      # model join + doc rollup (one tokenize
+                                      # pass, persisted)
 }
 
 
