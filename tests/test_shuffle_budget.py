@@ -86,6 +86,10 @@ BUDGETS = {
     "text_bigram_logprob": 6,         # pos window + bigram/unigram counts +
                                       # model join + doc rollup (one tokenize
                                       # pass, persisted)
+    "quality_expectations_suite": 4,  # scalar agg + uniqueness agg + anti-join
+                                      # count + union plumbing, one scan per
+                                      # rule FAMILY not per rule
+    "join_null_safe_eq": 1,           # null-safe hash join + grouped agg
 }
 
 
