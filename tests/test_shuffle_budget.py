@@ -89,7 +89,8 @@ BUDGETS = {
     "quality_expectations_suite": 4,  # scalar agg + uniqueness agg + anti-join
                                       # count + union plumbing, one scan per
                                       # rule FAMILY not per rule
-    "join_null_safe_eq": 1,           # null-safe hash join + grouped agg
+    "join_null_safe_eq": 2,           # two side aggregates; the 6-row
+                                      # null-safe join auto-broadcasts
 }
 
 
