@@ -1,35 +1,44 @@
-"""Exact-substring duplication candidates via rolling fixed-width
+"""Exact-substring duplication candidates via content-anchored
 window fingerprints — the distributed alternative to the suffix-array
 pass of "Deduplicating Training Data Makes Language Models Better"
-(Lee et al., 2022). A suffix array needs global order over the whole
-corpus (quadratic-ish to build distributed); the window-fingerprint
-formulation needs ONE uniform shuffle:
+(Lee et al., 2022).
 
-  map:    each document emits md5(substr(text, p, K)) for
-          p = 1, 1+S, 1+2S, ... (K = window, S = stride) — pure
-          projection + explode, no Python, no state
+Anchor choice matters (measured lesson, see tests): a position-STRIDED
+scheme (p = 1, 1+S, 1+2S, ...) is phase-fragile — copy the same run
+behind a prefix whose length is not a multiple of S and the two
+documents' windows sample the run at different offsets, so no
+fingerprint matches even for arbitrarily long shared runs. The fix is
+the winnowing idea: select window positions by CONTENT, not position.
+Here anchors are word starts (p = 1 or the previous char is a space)
+— any shared run that contains a word start followed by >= K chars
+anchors at the SAME run offset in every document containing it,
+regardless of surrounding phase. (A run with no space in it anchors
+only at p=1 — the documented blind spot; text corpora are word
+streams, and a full content-defined rolling-anchor variant slots into
+the same plan by changing the anchor predicate.)
+
+Plan shape (unchanged by the anchor fix):
+
+  map:    per-character explode is PIPELINED straight into the anchor
+          filter inside one codegen stage — only word-start rows
+          survive to the md5 projection; nothing per-character is
+          shuffled or materialized
   reduce: group by the 128-bit fingerprint; any fingerprint seen in
           >= 2 distinct documents marks a K-char run shared verbatim
-          across documents (stride S < K guarantees every shared run
-          of length >= K + S - 1 is caught by at least one aligned
-          window on each side)
 
-At 100 TB: window count is len/S per document (~5% row expansion at
-S=20 on the emitted key column only — the md5 key is constant-width
-regardless of text size), the shuffle key is a uniform hash (no skew
-by construction), and the reduce state per key is a counter + min/max
-— this is the canonical map-side-light candidate stage; the verify
-stage (byte compare of flagged runs) joins back on doc_id only for
-the tiny flagged subset.
+At 100 TB: surviving window count is ~len/avg_word_len per document,
+the shuffle key is a uniform hash (no skew by construction), and the
+reduce state per key is a counter + min/max. The verify stage (byte
+compare of flagged runs) joins back on doc_id for the flagged subset
+only.
 
 Reference lifecycle note: the reference engine (a pandas->Postgres
 loader, ``etl_process.py:1-235``) has no corpus stage; this is
 north-star surface for the driver-mandated LLM-curation pack.
 
-Oracle: DuckDB computes the identical windows with
-``generate_series`` + ``substr`` + ``md5`` — both engines hash the
-UTF-8 bytes of the same character-addressed substring, so agreement
-is bit-for-bit, not statistical.
+Oracle: DuckDB computes the identical anchors + windows with
+``generate_series`` + ``substr`` + ``md5`` — agreement is
+bit-for-bit, not statistical.
 """
 
 from __future__ import annotations
@@ -41,19 +50,18 @@ from ..registry import register
 from ..sources import load_table
 
 WINDOW = 40  # chars per fingerprinted window
-STRIDE = 20  # step between window starts (< WINDOW: overlap-covering)
 
 
 @register(
     "dedup_substring_windows",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, CAST(p AS BIGINT) AS p,
-             md5(substr(text, CAST(p AS INT), {WINDOW})) AS h
+      SELECT doc_id, md5(substr(text, CAST(p AS INT), {WINDOW})) AS h
       FROM documents,
-           LATERAL unnest(generate_series(1, length(text) - {WINDOW - 1},
-                                          {STRIDE})) t(p)
+           LATERAL unnest(generate_series(1, length(text) - {WINDOW - 1}))
+             t(p)
       WHERE length(text) >= {WINDOW}
+        AND (p = 1 OR substr(text, CAST(p AS INT) - 1, 1) = ' ')
     )
     SELECT h,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -66,25 +74,26 @@ STRIDE = 20  # step between window starts (< WINDOW: overlap-covering)
     """,
 )
 def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprints shared verbatim across >= 2 documents. One explode
-    (sequence of window starts) + one groupBy on the md5 key; the text
-    column itself is never shuffled — only (doc_id, fingerprint)."""
+    """Word-start-anchored K-char fingerprints shared across >= 2
+    documents. One pipelined explode+filter (no per-char shuffle) +
+    one groupBy on the md5 key; the text column itself is never
+    shuffled — only (doc_id, fingerprint)."""
     d = load_table(spark, sf_dir, "documents").filter(
         F.length("text") >= WINDOW
     )
-    windows = d.select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(1),
-                F.length("text") - F.lit(WINDOW - 1),
-                F.lit(STRIDE),
-            )
-        ).alias("p"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        F.md5(F.expr(f"substr(text, p, {WINDOW})")).alias("h"),
+    windows = (
+        d.select(
+            "doc_id",
+            F.col("text"),
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - F.lit(WINDOW - 1))
+            ).alias("p"),
+        )
+        .filter(
+            (F.col("p") == 1)
+            | (F.expr("substr(text, p - 1, 1)") == " ")
+        )
+        .select("doc_id", F.md5(F.expr(f"substr(text, p, {WINDOW})")).alias("h"))
     )
     return (
         windows.groupBy("h")
