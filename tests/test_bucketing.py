@@ -77,3 +77,18 @@ def test_partition_pruning(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters")[1].split("\n")[0]
     expected = o.filter(F.year("o_orderdate") == 1995).count()
     assert back.count() == expected
+
+
+def test_registered_bucketed_query_tables_join_exchange_free(spark, sf_dir):
+    """The tables the REGISTERED query provisions (not just this
+    file's ad-hoc ones) must support the Exchange-free merge join —
+    pins the layout contract of join_bucketed_colocated itself."""
+    from etl_xlsx_potgres_spark.plans.bucketed_join import _provision
+
+    orders_t, lineitem_t = _provision(spark, sf_dir)
+    ob = spark.table(orders_t)
+    lb = spark.table(lineitem_t)
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    assert "Exchange" not in _plan_str(joined), (
+        "registered bucketed tables lost the co-located layout"
+    )
