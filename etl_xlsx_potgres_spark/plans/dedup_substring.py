@@ -56,20 +56,21 @@ WINDOW = 40  # chars per fingerprinted window
     "dedup_substring_windows",
     oracle=f"""
     WITH w AS (
-      SELECT doc_id, md5(substr(text, CAST(p AS INT), {WINDOW})) AS h
+      SELECT doc_id,
+             unhex(md5(substr(text, CAST(p AS INT), {WINDOW}))) AS hb
       FROM documents,
            LATERAL unnest(generate_series(1, length(text) - {WINDOW - 1}))
              t(p)
       WHERE length(text) >= {WINDOW}
         AND (p = 1 OR substr(text, CAST(p AS INT) - 1, 1) = ' ')
     )
-    SELECT h,
+    SELECT hex(hb) AS h,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM w
-    GROUP BY h
+    GROUP BY hb
     HAVING COUNT(DISTINCT doc_id) >= 2
     """,
 )
@@ -93,10 +94,20 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p") == 1)
             | (F.expr("substr(text, p - 1, 1)") == " ")
         )
-        .select("doc_id", F.md5(F.expr(f"substr(text, p, {WINDOW})")).alias("h"))
+        .select(
+            "doc_id",
+            # shuffle the 16-byte BINARY digest, not the 32-char hex
+            # string: the digest IS the record at this stage, so the
+            # encoding halves the dominant shuffle key (measured 20.7
+            # MB -> ~13 MB at sf0.1, tools/shuffle_volume_probe.py);
+            # hex() back only on the surviving duplicate rows
+            F.unhex(F.md5(F.expr(f"substr(text, p, {WINDOW})"))).alias(
+                "hb"
+            ),
+        )
     )
     return (
-        windows.groupBy("h")
+        windows.groupBy("hb")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -104,4 +115,11 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .filter(F.col("n_docs") >= 2)
+        .select(
+            F.hex("hb").alias("h"),
+            "n_docs",
+            "n_occurrences",
+            "min_doc",
+            "max_doc",
+        )
     )
