@@ -23,6 +23,12 @@ NAMES = [
     "text_unigram_logprob",
     "text_bpe_pair_counts",
     "text_inverted_index",
+    # r8c corpus operators: the same empty/whitespace/NULL edges
+    "text_char_entropy",
+    "dedup_substring_windows",
+    "text_encode_ids",
+    "text_bigram_logprob",
+    "agg_countmin_heavy_hitters",
 ]
 
 
