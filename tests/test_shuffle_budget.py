@@ -91,6 +91,8 @@ BUDGETS = {
                                       # rule FAMILY not per rule
     "join_null_safe_eq": 2,           # two side aggregates; the 6-row
                                       # null-safe join auto-broadcasts
+    "version_snapshot_diff": 1,       # v1/v2 reads are PartitionFilters
+                                      # (verified in-plan); one diff agg
 }
 
 
