@@ -262,6 +262,11 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune_for_oracle(spark)
+        # Queries are independent: drop whatever the PREVIOUS query
+        # persisted so a 184-query verify session doesn't accumulate
+        # cached frames (cache is a performance hint only — clearing
+        # between queries never changes results).
+        spark.catalog.clearCache()
         return fn(spark, sf_dir)
 
     run.__name__ = getattr(fn, "__name__", "query")

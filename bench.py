@@ -77,7 +77,13 @@ def _reference_equivalent_sec(spark) -> float:
     out = build_outputs(cleaned)
     for name in ("planos", "clientes", "contratos", "contatos"):
         out[name].write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 3)
+    elapsed = round(time.perf_counter() - t0, 3)
+    # the cached `cleaned` frame must not leak into the next pass:
+    # a second pass's .cache() on the identical plan logs
+    # "CacheManager: Asked to cache already cached data" and the
+    # frames pile up in a long-lived session
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

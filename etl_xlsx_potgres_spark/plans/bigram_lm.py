@@ -9,11 +9,15 @@ Reference lifecycle note: the reference has no corpus stage
 (``etl_process.py:1-235``); this extends the driver-mandated
 LLM-curation pack.
 
-Plan shape: ONE positional tokenize pass; bigrams come from a lead
+Plan shape: ONE positional tokenize pass — the ``toks`` frame is
+persisted and feeds ALL three consumers (unigram counts, the
+vocabulary-size aggregate, and the bigram build), so the documents
+table is scanned and tokenized exactly once. Bigrams come from a lead
 window over (doc_id, pos) — the long-form shape that stays inside
 whole-stage codegen (see README "Interpreted expressions off the hot
-path") — and that frame is persisted to feed bigram counts, unigram
-counts, AND the per-doc rollup. The vocabulary size is a 1-row
+path") — and that frame is persisted too because it is consumed twice
+(bigram counts and the per-doc rollup), which would otherwise re-run
+the doc_id window shuffle. The vocabulary size is a 1-row
 broadcast; bigram/unigram model joins are token-keyed equi-joins,
 never broadcast (corpus-sized at 100 TB, same policy as the unigram
 model). Numeric policy: per-bigram log-probs floor to integer
@@ -81,7 +85,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "term"),
-    )
+    ).persist()  # one tokenize pass feeds cu, v, AND the bigram build
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = (
         toks.select(

@@ -606,7 +606,7 @@ _SALTS = 64
     )
     SELECT term,
            CAST(MAX(df) AS BIGINT) AS df,
-           list(doc_id ORDER BY rn) AS postings
+           array_to_string(list(doc_id ORDER BY rn), ' ') AS postings
     FROM (
       SELECT r.term, r.doc_id, r.rn, d.df
       FROM ranked r
@@ -646,9 +646,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.max("df").cast("long").alias("df"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
-                lambda s: s.doc_id,
+            # Space-joined scalar rather than array<bigint>: the driver's
+            # pandas canonicalizer sorts result frames and cannot hash
+            # list-typed cells (r8 red row) — and every other query in
+            # the registry emits scalar columns for the same reason.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda s: s.doc_id.cast("string"),
+                ),
+                " ",
             ).alias("postings"),
         )
     )

@@ -95,15 +95,21 @@ def version_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = spark.read.parquet(path)
     # as-of reads: version is a partition column, so these filters are
     # directory pruning, not scans of the other snapshot
+    # key-presence marker is a literal, never a value column: a v1
+    # row whose c_acctbal happened to be NULL must still classify as
+    # matched, not 'added' (value-as-key-proxy is the classic
+    # left-join bug this query exists to exemplify)
     v1 = snaps.filter(F.col("version") == 1).select(
-        "c_custkey", F.col("c_acctbal").alias("bal_v1")
+        "c_custkey",
+        F.col("c_acctbal").alias("bal_v1"),
+        F.lit(1).alias("in_v1"),
     )
     v2 = snaps.filter(F.col("version") == 2).select(
         "c_custkey", F.col("c_acctbal").alias("bal_v2")
     )
     joined = v2.join(v1, "c_custkey", "left")
     diff = joined.select(
-        F.when(F.col("bal_v1").isNull(), "added")
+        F.when(F.col("in_v1").isNull(), "added")
         .when(F.col("bal_v2") != F.col("bal_v1"), "updated")
         .otherwise("unchanged")
         .alias("change_type"),

@@ -119,13 +119,52 @@ def test_ewma_matches_python_fold(spark, tmp_path, values):
 
 def test_countmin_upper_bound_holds_for_every_term(spark, duck, sf_dir):
     """est >= exact is the deterministic CM invariant for ALL terms,
-    not just the top-k the query emits — check the full vocabulary by
-    rebuilding estimates for every term against DuckDB exact counts."""
-    out = registry.QUERIES["agg_countmin_heavy_hitters"](spark, sf_dir)
-    rows = out.collect()
+    not just the top-k the query emits: rebuild the full (d x w) grid
+    in pure Python from DuckDB exact counts (an implementation
+    independent of both the Spark query and its oracle SQL), check the
+    invariant over the whole vocabulary, and require the Spark query's
+    emitted estimates to equal the rebuilt ones bit-for-bit."""
+    import hashlib
+
+    from etl_xlsx_potgres_spark.plans.sketches import D, W
+
+    exact = dict(
+        duck.sql(
+            "SELECT term, CAST(COUNT(*) AS BIGINT) FROM (SELECT unnest("
+            "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            " x -> x <> '')) AS term FROM documents) GROUP BY term"
+        ).fetchall()
+    )
+    # the synthetic documents fixture has a deliberately small
+    # vocabulary (31 terms at every sf) — assert we got all of it
+    assert len(exact) > 10
+
+    def bucket(row_id: int, term: str) -> int:
+        h = hashlib.md5(f"cm{row_id}|{term}".encode()).hexdigest()
+        return int(h[:6], 16) % W
+
+    grid = [[0] * W for _ in range(D)]
+    for term, cnt in exact.items():
+        for r in range(D):
+            grid[r][bucket(r, term)] += cnt
+    est = {
+        term: min(grid[r][bucket(r, term)] for r in range(D))
+        for term in exact
+    }
+    # the CM invariant over EVERY vocabulary term
+    assert all(est[t] >= exact[t] for t in exact)
+    # and at least one real collision at this sf, or the invariant
+    # check would be vacuous (est == exact everywhere)
+    assert any(est[t] > exact[t] for t in exact)
+
+    rows = registry.QUERIES["agg_countmin_heavy_hitters"](
+        spark, sf_dir
+    ).collect()
     assert len(rows) > 0
-    assert all(r.est_ge_exact for r in rows)
-    assert all(r.cm_estimate >= r.exact_cnt for r in rows)
+    for r in rows:
+        assert r.exact_cnt == exact[r.term]
+        assert r.cm_estimate == est[r.term]  # independent rebuild, exact
+        assert r.est_ge_exact
 
 
 def test_pq_seeds_encode_to_themselves(spark, sf_dir):

@@ -50,12 +50,7 @@ def _api(base: str, path: str):
 def probe(sf_dir: str, names: list[str]) -> dict:
     from pyspark.sql import SparkSession
 
-    from etl_xlsx_potgres_spark.session import get_spark
-
     # fresh UI-enabled session (the shared factory disables the UI)
-    SparkSession.builder.config("spark.ui.enabled", "true").config(
-        "spark.ui.port", "0"
-    )
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
         .appName("shuffle-volume-probe")
@@ -67,6 +62,14 @@ def probe(sf_dir: str, names: list[str]) -> dict:
     )
     sc = spark.sparkContext
     base = sc.uiWebUrl
+    if base is None:
+        # getOrCreate returned a pre-existing UI-disabled session —
+        # the REST probe cannot run against it; fail with the cause
+        # instead of a confusing urlopen(None) crash downstream
+        raise RuntimeError(
+            "Spark UI is disabled on the existing session; run this "
+            "probe in a fresh process (no prior SparkSession)."
+        )
     app_id = sc.applicationId
     out: dict[str, dict] = {}
     for name in names:
