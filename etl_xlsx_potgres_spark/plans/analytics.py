@@ -256,42 +256,48 @@ VOCAB_K = 500
     """,
 )
 def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ids import global_row_number
-
+    """Per-doc aggregation is the ROW GRAIN of the documents table, so
+    the whole doc side runs map-only: tokenize the row into an array,
+    count OOV terms against the top-K vocabulary carried as ONE
+    broadcast array cell. The only shuffle anywhere is the |vocab|-row
+    partial-aggregated term count feeding the ranking (constant-K
+    output). The r8 shape instead pre-aggregated (doc_id, term) counts
+    to share one tokenize pass between both sides — that corpus-wide
+    shuffle + persist cost 2.16 s isolated median at sf0.1 vs 0.63 s
+    for this shape (r9 adjudication, PLANS.md). Trade-off: membership
+    is a linear scan of the K=500 array per token — O(K) CPU per
+    token, constant and embarrassingly parallel; for a vocab too large
+    to broadcast as an array, the (doc_id, term)-aggregate + equi-join
+    shape in git history (r8) is the fallback."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
-        ).alias("term"),
+    toks_expr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
     )
-    # Both the vocab ranking and the per-doc OOV rate are derivable
-    # from ONE (doc_id, term)-level count: aggregate the token stream
-    # once (the only full-width shuffle), persist that much smaller
-    # deduplicated frame, and reuse it on both sides — the corpus is
-    # scanned+tokenized exactly once. (The naive shape tokenizes twice:
-    # once for vocab counts, once for the join side — at 100 TB the
-    # second tokenize pass is the whole query cost.)
-    dt = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
+    counts = (
+        d.select(F.explode(toks_expr).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
-    counts = dt.groupBy("term").agg(F.sum("cnt").alias("n_occurrences"))
-    vocab = (
-        global_row_number(counts, [F.desc("n_occurrences"), F.asc("term")], "rk")
-        .filter(F.col("rk") <= VOCAB_K)
-        .select("term", F.lit(1).alias("in_vocab"))
+    # deterministic top-K (count desc, term asc) packed into a single
+    # array cell: constant-size state at ANY corpus size
+    vocab_row = (
+        counts.orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(VOCAB_K)
+        .agg(F.collect_list("term").alias("vocab"))
     )
-    oov = F.sum(F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0))
-    n_tok = F.sum("cnt")
+    n_tok = F.size("toks")
+    n_oov = F.size(F.filter("toks", lambda t: ~F.array_contains("vocab", t)))
     return (
-        dt.join(F.broadcast(vocab), "term", "left")
-        .groupBy("doc_id")
-        .agg(
-            n_tok.alias("n_tokens"),
-            oov.alias("n_oov"),
-            (oov.cast("double") / n_tok).alias("oov_rate"),
+        d.select("doc_id", toks_expr.alias("toks"))
+        # empty docs produce no explode rows in the oracle — keep
+        # parity (and avoid 0/0) by dropping them here too
+        .filter(F.size("toks") > 0)
+        .crossJoin(F.broadcast(vocab_row))
+        .select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            (n_oov.cast("double") / n_tok).alias("oov_rate"),
         )
     )
 

@@ -51,7 +51,7 @@ BUDGETS = {
     "dedup_embedding_neardup": 0,       # label-blocked broadcast pairs
     "dedup_embedding_lsh": 1,
     "dedup_simhash_signatures": 1,
-    "text_oov_rate": 11,
+    "text_oov_rate": 4,  # term agg + top-K rank plumbing; doc side is map-only (r9 rewrite)
     "dedup_ngram_jaccard": 4,
     "dedup_minhash_lsh_pairs": 2,
     "agg_percentiles": 1,
