@@ -160,6 +160,9 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "cents",                          # IVF codebook (16 rows)
         "sk",                             # 1-row sketch-verdict aggregate
         "vocab",                          # top-K vocabulary (K rows by construction)
+        "vocab_row",                      # same vocab packed into ONE array cell
+                                          # (limit(VOCAB_K) then 1-row collect_list
+                                          # aggregate — constant at any corpus size)
         "q",                              # BRP-LSH exact-baseline query side
                                           # (<= N_QUERIES rows by construction)
         "frame",                          # the guarded hints' own parameter
@@ -184,20 +187,73 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # by construction, data-size-free)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
-    # capture the leading identifier chain of the hinted frame
-    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][\w.]*)")
     offenders = []
     for path in sorted(pkg.glob("*.py")):
-        for i, line in enumerate(path.read_text().splitlines(), 1):
-            m = pat.search(line)
-            if not m:
-                continue
-            arg = m.group(1)
-            # region filtered inline is still the 5-row dim
-            if arg in allowed or arg.startswith("r.filter"):
-                continue
-            offenders.append(f"{path.name}:{i}: F.broadcast({arg}…)")
+        offenders += [
+            f"{path.name}:{line}: F.broadcast({chain}…)"
+            for line, chain in _broadcast_hints(path.read_text())
+            if not (
+                chain in allowed
+                or chain.split(".", 1)[0] in allowed
+                # region filtered inline is still the 5-row dim
+                or chain.startswith("r.filter")
+            )
+        ]
     assert not offenders, "\n".join(offenders)
+
+
+def _broadcast_hints(source: str) -> list[tuple[int, str]]:
+    """(line, leading-identifier-chain) of every ``F.broadcast(...)`` /
+    bare ``broadcast(...)`` call in ``source`` — an AST walk, so hints
+    split across lines can't dodge the guard the way they did the old
+    per-line regex."""
+    import ast
+
+    def chain(node: ast.AST) -> str:
+        parts: list[str] = []
+        while True:
+            if isinstance(node, ast.Call):
+                node = node.func
+            elif isinstance(node, ast.Attribute):
+                parts.append(node.attr)
+                node = node.value
+            elif isinstance(node, ast.Name):
+                parts.append(node.id)
+                return ".".join(reversed(parts))
+            else:
+                return f"<{type(node).__name__}>"
+
+    hits = []
+    for node in ast.walk(ast.parse(source)):
+        if not (isinstance(node, ast.Call) and node.args):
+            continue
+        fn = node.func
+        is_hint = (
+            isinstance(fn, ast.Attribute)
+            and fn.attr == "broadcast"
+            and isinstance(fn.value, ast.Name)
+            and fn.value.id == "F"
+        ) or (isinstance(fn, ast.Name) and fn.id == "broadcast")
+        if is_hint:
+            hits.append((node.lineno, chain(node.args[0])))
+    return hits
+
+
+def test_broadcast_guard_catches_multiline_hints():
+    """The r8 guard was a per-line regex; a hint wrapped across lines
+    slipped past it. The AST walk must flag this exact shape."""
+    src = (
+        "def plan(spark):\n"
+        "    big = spark.read.parquet('x')\n"
+        "    return other.join(\n"
+        "        F.broadcast(\n"
+        "            big.filter(F.col('a') > 0)\n"
+        "        ),\n"
+        "        'k',\n"
+        "    )\n"
+    )
+    hints = _broadcast_hints(src)
+    assert hints == [(4, "big.filter")]
 
 
 def test_broadcast_threshold_parses_all_size_suffixes():
