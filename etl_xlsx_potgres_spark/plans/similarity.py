@@ -290,7 +290,6 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    q = F.broadcast(q)
     v = raw.select("vec_id", F.col("embedding").alias("vv"))
     dist = F.sqrt(
         F.aggregate(
@@ -304,8 +303,12 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    # hint ONLY at the non-equi join that needs it: hinting the q
+    # frame itself propagates to the final verdict joins where q is
+    # the LEFT side of a left outer join — Spark can't build-left
+    # there and logs an ignored-hint warning on every run
     exact = (
-        q.join(v, F.col("qid") != F.col("vec_id"))
+        F.broadcast(q).join(v, F.col("qid") != F.col("vec_id"))
         .withColumn("dist", dist)
         .filter(F.col("dist") <= BRP_RADIUS)
         .withColumn("rn", F.row_number().over(w))
