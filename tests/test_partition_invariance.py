@@ -59,6 +59,10 @@ NAMES = [
     "emb_pq_encode",
     # lead-window bigrams + floored micro-nat model join
     "text_bigram_logprob",
+    # r9 rewrite: top-K vocab packed by collect_list into one array
+    # cell — the collect order varies with partitioning, so the claim
+    # is that membership-counting is order-independent
+    "text_oov_rate",
 ]
 
 
