@@ -9,15 +9,18 @@ Reference lifecycle note: the reference has no corpus stage
 (``etl_process.py:1-235``); this extends the driver-mandated
 LLM-curation pack.
 
-Plan shape: ONE positional tokenize pass — the ``toks`` frame is
-persisted and feeds ALL three consumers (unigram counts, the
-vocabulary-size aggregate, and the bigram build), so the documents
-table is scanned and tokenized exactly once. Bigrams come from a lead
-window over (doc_id, pos) — the long-form shape that stays inside
-whole-stage codegen (see README "Interpreted expressions off the hot
-path") — and that frame is persisted too because it is consumed twice
-(bigram counts and the per-doc rollup), which would otherwise re-run
-the doc_id window shuffle. The vocabulary size is a 1-row
+Plan shape: ONE positional tokenize pass — the ``toks`` frame is the
+single persisted intermediate and feeds ALL consumers (unigram
+counts, the vocabulary-size aggregate, and both bigram builds), so
+the documents table is scanned and tokenized exactly once. Bigrams
+come from a lead window over (doc_id, pos) — the long-form shape that
+stays inside whole-stage codegen (see README "Interpreted expressions
+off the hot path"). The bigram frame itself is deliberately NOT
+persisted even though it is consumed twice: rebuilding the lead
+window from the cached narrow (doc_id, pos, term) frame measured
+cheaper than materializing the wide (doc_id, w1, w2, pos) frame
+(isolated n=6 medians at sf0.1 — toks-only 0.91 s, both persisted
+1.40 s, bigrams-only 1.30 s; r9 adjudication). The vocabulary size is a 1-row
 broadcast; bigram/unigram model joins are token-keyed equi-joins,
 never broadcast (corpus-sized at 100 TB, same policy as the unigram
 model). Numeric policy: per-bigram log-probs floor to integer
@@ -95,7 +98,6 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
         .filter(F.col("w2").isNotNull())
-        .persist()  # feeds cb, the doc rollup, and (via w1) cu's join
     )
     cb = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = toks.groupBy(F.col("term").alias("w1")).agg(
