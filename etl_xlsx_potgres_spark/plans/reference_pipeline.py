@@ -218,7 +218,13 @@ def reference_pipeline_1200rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the differential twin of bench.py's headline number)."""
     from ..pipelines import build_outputs, transform
 
-    cleaned = transform(workbook_clone(spark)).cache()
+    # eager localCheckpoint, not cache(): the six summary branches
+    # each re-analyze the whole transform lineage under cache(),
+    # while the checkpoint truncates it to a 1-node scan — 5.1 s ->
+    # 2.1 s all-in at n=5 (r9 adjudication, PLANS.md). Same pattern
+    # as the pagerank iteration state; the workbook frame is
+    # driver-bounded so executor-local durability is the right trade.
+    cleaned = transform(workbook_clone(spark)).localCheckpoint(eager=True)
     out = build_outputs(cleaned)
 
     clientes = _summary(

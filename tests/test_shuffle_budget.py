@@ -47,7 +47,9 @@ BUDGETS = {
     # shuffle costs most (counts from the same cold-plan audit)
     "dedup_levenshtein_pigeonhole": 5,
     "curation_pipeline_stats": 9,
-    "reference_pipeline_1200rows": 56,  # 4-output fan-out pipeline
+    "reference_pipeline_1200rows": 55,  # 4-output fan-out pipeline
+                                        # (r9: transform subtree now a
+                                        # checkpoint scan, one fewer)
     "dedup_embedding_neardup": 0,       # label-blocked broadcast pairs
     "dedup_embedding_lsh": 1,
     "dedup_simhash_signatures": 1,
