@@ -265,18 +265,42 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import dot_flat, norm_flat
+    from .similarity import norm_flat
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Verify-stage shape, r9 re-adjudicated (isolated n=6 at sf0.1):
+    # norms are per-VECTOR, computed once pre-join where the 64-term
+    # norm_flat compiles fine on its own; the per-PAIR dot is the
+    # sequential zip_with/aggregate HOF fold. The previous inlined
+    # dot_flat + two norm_flats (192 element_at products inside the
+    # broadcast-join consume method) failed janino's 64 KB limit, so
+    # the whole stage silently ran INTERPRETED after a wasted compile
+    # per run ("Code grows beyond 64 KB" in every r9 bench pass).
+    # Measured: HOF 1.61 s < flat-interpreted 1.85 s < Arrow pandas
+    # dot 2.30 s — the Arrow path loses HERE because label blocks
+    # yield ~5M candidate pairs whose array shipping dominates
+    # (dedup_embedding_lsh keeps pandas: its LSH buckets emit far
+    # fewer pairs). The HOF is CodegenFallback per pair but the rest
+    # of the stage still codegens, and the fold order is the same
+    # left-assoc sequence as DuckDB list_sum — bit-exact.
     a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("ea"), "label"
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("ea"),
+        norm_flat("embedding").alias("na"),
+        "label",
     )
     b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("eb"), "label"
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("eb"),
+        norm_flat("embedding").alias("nb"),
+        "label",
     )
-    # flat codegen cosine: same left-to-right float order as the HOF
-    # fold and the DuckDB list_sum oracle, ~10x the throughput
-    cosine = dot_flat("ea", "eb") / (norm_flat("ea") * norm_flat("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    cosine = dot / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("v1") < F.col("v2"))
