@@ -79,3 +79,54 @@ def test_lsh_banded_neardup_recall(spark):
     assert got <= true_pairs
     recall = len(got & true_pairs) / len(true_pairs)
     assert recall >= 0.9, f"recall {recall:.3f} on {len(true_pairs)} true pairs"
+
+
+def test_dot_implementations_bit_identical(spark):
+    """The three dot-product implementations — the unrolled flat chain
+    (kept as the reference formulation after the r9 64 KB codegen
+    postmortem), the zip_with/aggregate HOF fold the shipped queries
+    use, and the Arrow-batched pandas fold — must agree BIT-FOR-BIT on
+    adversarial doubles, because the oracle differential and the
+    cosine-threshold boundary both depend on the exact left-assoc
+    float order. A pairwise/tree summation in any of them would break
+    this on these inputs."""
+    import math
+    import random
+
+    from etl_xlsx_potgres_spark.plans.similarity import (
+        EMB_DIM,
+        dot_flat,
+        dot_pairs_pandas,
+    )
+
+    rng = random.Random(9)
+    # magnitudes spread over 12 orders so summation order matters
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 6) for _ in range(EMB_DIM)],
+            [rng.uniform(-1, 1) * 10 ** rng.randint(-6, 6) for _ in range(EMB_DIM)],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["i", "ea", "eb"]).select(
+        "i",
+        F.col("ea").cast("array<float>").alias("ea"),
+        F.col("eb").cast("array<float>").alias("eb"),
+    )
+    hof = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    out = df.select(
+        "i",
+        dot_flat("ea", "eb").alias("flat"),
+        hof.alias("hof"),
+        dot_pairs_pandas(F.col("ea"), F.col("eb")).alias("arrow"),
+    ).collect()
+    assert len(out) == 50
+    for r in out:
+        assert math.isfinite(r.flat)
+        # bit-identity, not approx: == on python floats is exact
+        assert r.flat == r.hof == r.arrow, r.i
