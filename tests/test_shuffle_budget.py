@@ -85,9 +85,15 @@ BUDGETS = {
     "csv_quarantine_ingest": 1,       # 1-row quarantine-count broadcast back
     "mm_audio_features": 0,           # synthesize + mapInPandas, map-only
     "mm_image_resize": 0,             # synthesize + mapInPandas, map-only
-    "text_bigram_logprob": 6,         # pos window + bigram/unigram counts +
-                                      # model join + doc rollup (one tokenize
-                                      # pass, persisted)
+    "text_bigram_logprob": 7,         # pos window (x2: the bigram frame is
+                                      # deliberately NOT persisted, so its
+                                      # doc_id window shuffle appears under
+                                      # both consumers — rebuilding from the
+                                      # cached narrow toks frame measured
+                                      # faster than materializing the wide
+                                      # bigram frame, r9 PLANS.md) +
+                                      # bigram/unigram counts + model join +
+                                      # doc rollup (one tokenize pass)
     "quality_expectations_suite": 4,  # scalar agg + uniqueness agg + anti-join
                                       # count + union plumbing, one scan per
                                       # rule FAMILY not per rule
