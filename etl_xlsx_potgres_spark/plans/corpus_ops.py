@@ -62,11 +62,11 @@ EMB_DIM = 64
     ),
     segs AS (
       SELECT doc_id,
-             unnest(list_transform(
+             unhex(md5(unnest(list_transform(
                generate_series(0, CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS INT) - 1),
                i -> array_to_string(
                       list_slice(toks, i * {SEG_TOKENS} + 1, i * {SEG_TOKENS} + {SEG_TOKENS}),
-                      ' '))) AS seg
+                      ' '))))) AS seg
       FROM t
     ),
     freq AS (
@@ -88,11 +88,14 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-span removal. One shuffle on the segment hash (the
     frequency table), one equi-join back, one doc_id aggregate.
 
-    Scale note: the shuffle key here is the segment TEXT so the
-    DuckDB oracle can reproduce it exactly; at corpus scale the key
-    should be ``xxhash64(seg)`` (64-bit, collision odds ~n^2/2^65 —
-    negligible for a dedup signal), which shrinks shuffle width to 8
-    bytes/row. The plan shape is identical either way."""
+    Shuffle key: the 16-byte BINARY md5 of the segment, never the
+    segment text — md5/unhex are portable so the DuckDB oracle
+    rebuilds the identical keys (an md5 collision would fold the same
+    pair of segments on BOTH engines, leaving the differential exact;
+    the dedup-signal semantics tolerate the ~n^2/2^129 odds). This
+    closes the r8 caveat that kept segment text as the key for oracle
+    reproducibility; at production scale ``xxhash64`` halves the key
+    again at the cost of oracle portability."""
     d = load_table(spark, sf_dir, "documents")
     # zero-token/NULL-text guard: Spark's sequence(0, -1) counts DOWN
     # (two bogus segments) where DuckDB's generate_series(0, -1) is
@@ -109,8 +112,11 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"  sequence(0, cast(ceil(size(toks) / {SEG_TOKENS}.0) as int) - 1),"
                     f"  i -> array_join(slice(toks, i * {SEG_TOKENS} + 1, {SEG_TOKENS}), ' '))"
                 )
-            ).alias("seg"),
+            ).alias("seg_text"),
         )
+        # hash before the shuffle: the generator must be a top-level
+        # projection, so the digest lives in a collapsed follow-up
+        .select("doc_id", F.unhex(F.md5("seg_text")).alias("seg"))
     )
     # One tokenize+explode pass total: collapse to one row per
     # (seg, doc) first (the only corpus-wide shuffle), persist that
