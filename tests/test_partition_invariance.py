@@ -63,6 +63,9 @@ NAMES = [
     # cell — the collect order varies with partitioning, so the claim
     # is that membership-counting is order-independent
     "text_oov_rate",
+    # iterative top-1 selection feeding the next round's input: a
+    # partition-dependent limit(1) would cascade through all rounds
+    "text_bpe_merge_rounds",
 ]
 
 

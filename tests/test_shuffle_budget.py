@@ -33,6 +33,9 @@ BUDGETS = {
     "emb_scalar_quantize": 2,         # dim stats + 1-row collect
     "emb_kmeans_step": 2,             # argmin window + K-row aggregate
     "text_bpe_pair_counts": 9,        # pair count + top-k + global_row_number plumbing (tiny frames)
+    "text_bpe_merge_rounds": 8,       # ONE corpus word-count shuffle + per-round
+                                      # vocab-sized pair agg / 1-row top-1 / union
+                                      # plumbing (3 unrolled rounds, tiny frames)
     "text_inverted_index": 4,         # tf agg + (term,salt) window + term window + df
     "emb_covariance_power_step": 1,   # the 64-group matvec reduce
     "ts_mad_outliers": 4,             # 2 selection windows + 2 joins/rollup
