@@ -107,6 +107,20 @@ def _quote_table(table: str) -> str:
     return ".".join(quote_ident(p) for p in table.split("."))
 
 
+def build_insert_sql(table: str, columns: list[str]) -> str:
+    """Plain parameterized INSERT — the statement shape the reference
+    issues for its two fact tables, which have NO conflict target:
+    ``tbl_cliente_contratos`` (``etl_process.py:113-124``) and
+    ``tbl_cliente_contatos`` (``:167-174``). Surrogate ids come from
+    the sink's sequences and FK violations surface as statement
+    errors (our pipeline quarantines them upstream instead). Pure
+    function — unit-tested without a live database."""
+    cols = [quote_ident(c) for c in columns]
+    collist = ", ".join(cols)
+    placeholders = ", ".join(["%s"] * len(columns))
+    return f"INSERT INTO {_quote_table(table)} ({collist}) VALUES ({placeholders})"
+
+
 def build_upsert_sql(
     table: str,
     columns: list[str],
@@ -115,10 +129,7 @@ def build_upsert_sql(
 ) -> str:
     """Statement for per-partition executemany upsert. Pure function —
     unit-tested without a live database."""
-    cols = [quote_ident(c) for c in columns]
-    collist = ", ".join(cols)
-    placeholders = ", ".join(["%s"] * len(columns))
-    sql = f"INSERT INTO {_quote_table(table)} ({collist}) VALUES ({placeholders})"
+    sql = build_insert_sql(table, columns)
     conflict = ", ".join(quote_ident(k) for k in conflict_keys)
     if do_update:
         updates = ", ".join(
@@ -133,16 +144,21 @@ def build_upsert_sql(
 def foreach_partition_upsert(
     df: DataFrame,
     target: JdbcTarget,
-    conflict_keys: list[str],
+    conflict_keys: list[str] | None,
     do_update: bool = False,
     batch_rows: int = 1_000,
 ) -> None:
     """Executor-side batched ON CONFLICT upsert: each partition opens
     one connection and executes batched statements — preserves the
     reference's statement-level conflict semantics at partition
-    parallelism instead of row-at-a-time."""
+    parallelism instead of row-at-a-time. ``conflict_keys=None``
+    issues the reference's plain-INSERT shape (its contratos/contatos
+    loads, ``etl_process.py:113-124,:167-174``)."""
     columns = df.columns
-    sql = build_upsert_sql(target.table, columns, conflict_keys, do_update)
+    if conflict_keys is None:
+        sql = build_insert_sql(target.table, columns)
+    else:
+        sql = build_upsert_sql(target.table, columns, conflict_keys, do_update)
     dsn = target.dbapi_dsn()
 
     def write_partition(rows) -> None:

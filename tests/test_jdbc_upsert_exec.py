@@ -1,4 +1,4 @@
-"""Exercise the Postgres-dialect upsert branch (``sinks/jdbc.py``
+"""Exercise the Postgres-dialect load branch (``sinks/jdbc.py``
 ``foreach_partition_upsert``) by ASSERTION, not just SQL-string
 syntax: the sandbox has no Postgres server or client, so a recording
 fake ``psycopg2`` is shipped to the Python workers via ``addPyFile``
@@ -7,19 +7,27 @@ and the real executor-side code path runs end-to-end through
 batching, commit and close are all captured to disk by the workers
 and asserted here.
 
-Golden statements mirror the reference's load phase byte-for-byte
-(``/root/reference/etl_process.py:36-41`` tbl_planos,
-``:70-78`` tbl_clientes).
+Golden statements mirror the reference's load phase for ALL FOUR
+target tables (``/root/reference/etl_process.py``):
+
+- ``tbl_planos``            :36-41   INSERT ... ON CONFLICT (descricao) DO NOTHING
+- ``tbl_clientes``          :70-78   INSERT ... ON CONFLICT (cpf_cnpj) DO NOTHING
+- ``tbl_cliente_contratos`` :113-124 plain INSERT (12 columns, no conflict target)
+- ``tbl_cliente_contatos``  :167-174 plain INSERT (3 columns, no conflict target)
+
+plus the reference's FK load order planos -> clientes -> contratos ->
+contatos (``README.md:118``, mirrored by ``pipelines.build_outputs``).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 import pytest
 
-from etl_xlsx_potgres_spark.sinks import build_upsert_sql
+from etl_xlsx_potgres_spark.sinks import build_insert_sql, build_upsert_sql
 from etl_xlsx_potgres_spark.sinks.jdbc import (
     JdbcTarget,
     foreach_partition_upsert,
@@ -35,6 +43,55 @@ CLIENTES_SQL = (
     "VALUES (%s, %s, %s, %s, %s) "
     "ON CONFLICT (cpf_cnpj) DO NOTHING"
 )
+CONTRATOS_COLUMNS = [
+    "cliente_id",
+    "plano_id",
+    "dia_vencimento",
+    "isento",
+    "endereco_logradouro",
+    "endereco_numero",
+    "endereco_bairro",
+    "endereco_cidade",
+    "endereco_complemento",
+    "endereco_cep",
+    "endereco_uf",
+    "status_id",
+]
+CONTRATOS_SQL = (
+    "INSERT INTO tbl_cliente_contratos (cliente_id, plano_id, "
+    "dia_vencimento, isento, endereco_logradouro, endereco_numero, "
+    "endereco_bairro, endereco_cidade, endereco_complemento, "
+    "endereco_cep, endereco_uf, status_id) "
+    "VALUES (%s, %s, %s, %s, %s, %s, %s, %s, %s, %s, %s, %s)"
+)
+CONTATOS_SQL = (
+    "INSERT INTO tbl_cliente_contatos (cliente_id, tipo_contato_id, "
+    "contato) VALUES (%s, %s, %s)"
+)
+
+# The reference's statement text VERBATIM (multi-line, as passed to
+# cur.execute) — asserted below against our canonical single-line
+# builders modulo whitespace, so column membership + ORDER (and hence
+# %s parameter order) are byte-equivalent.
+_REF_CONTRATOS_VERBATIM = """
+    INSERT INTO tbl_cliente_contratos (
+        cliente_id, plano_id, dia_vencimento, isento,
+        endereco_logradouro, endereco_numero, endereco_bairro,
+        endereco_cidade, endereco_complemento, endereco_cep, endereco_uf, status_id
+    ) VALUES (%s, %s, %s, %s, %s, %s, %s, %s, %s, %s, %s, %s)
+"""  # etl_process.py:113-118
+_REF_CONTATOS_VERBATIM = """
+    INSERT INTO tbl_cliente_contatos (cliente_id, tipo_contato_id, contato)
+    VALUES (%s, %s, %s)
+"""  # etl_process.py:170-173
+
+
+def _squash(sql: str) -> str:
+    """Whitespace-normalized statement form: collapse runs of
+    whitespace, drop space adjacent to parens/commas."""
+    s = re.sub(r"\s+", " ", sql).strip()
+    s = re.sub(r"\s*([(),])\s*", r"\1", s)
+    return s
 
 
 def test_reference_golden_conflict_statements():
@@ -58,6 +115,22 @@ def test_reference_golden_conflict_statements():
         )
         == CLIENTES_SQL
     )
+
+
+def test_reference_golden_plain_insert_statements():
+    """The two plain-INSERT statements (contratos/contatos have no
+    conflict target in the reference) — our builder's canonical form,
+    and whitespace-equivalent to the reference's verbatim text, so
+    column order == parameter order is proven against the source."""
+    assert build_insert_sql("tbl_cliente_contratos", CONTRATOS_COLUMNS) == CONTRATOS_SQL
+    assert (
+        build_insert_sql(
+            "tbl_cliente_contatos", ["cliente_id", "tipo_contato_id", "contato"]
+        )
+        == CONTATOS_SQL
+    )
+    assert _squash(CONTRATOS_SQL) == _squash(_REF_CONTRATOS_VERBATIM)
+    assert _squash(CONTATOS_SQL) == _squash(_REF_CONTATOS_VERBATIM)
 
 
 _FAKE_PSYCOPG2 = '''
@@ -100,21 +173,38 @@ def connect(dsn):
     return _Conn()
 '''
 
-
-@pytest.mark.skipif(
+_skip_if_real_psycopg2 = pytest.mark.skipif(
     __import__("importlib").util.find_spec("psycopg2") is not None,
     reason="real psycopg2 present; the recording fake must not shadow it",
 )
-def test_foreach_partition_upsert_executes_reference_statements(
-    spark, tmp_path
-):
-    log_path = str(tmp_path / "psycopg2_calls.jsonl")
-    fake = tmp_path / "psycopg2.py"
+
+
+@pytest.fixture(scope="session")
+def psycopg2_log(spark, tmp_path_factory):
+    """Ship ONE recording fake per Spark session (addPyFile rejects
+    re-adding a same-named file with different contents) and hand each
+    test the shared log path; tests truncate it before use."""
+    root = tmp_path_factory.mktemp("fake_psycopg2")
+    log_path = str(root / "psycopg2_calls.jsonl")
+    fake = root / "psycopg2.py"
     fake.write_text(_FAKE_PSYCOPG2.format(log_path=log_path))
-    # ships the fake to every Python worker for the session — harmless
-    # beyond this test because nothing else imports psycopg2 here
-    # (the live-Postgres suite is env-gated off in this sandbox)
+    # harmless beyond these tests because nothing else imports
+    # psycopg2 here (the live-Postgres suite is env-gated off)
     spark.sparkContext.addPyFile(str(fake))
+    return log_path
+
+
+def _read_events(log_path):
+    assert os.path.exists(log_path), "workers never reached the fake driver"
+    with open(log_path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+@_skip_if_real_psycopg2
+def test_foreach_partition_upsert_executes_reference_statements(
+    spark, psycopg2_log
+):
+    open(psycopg2_log, "w").close()
 
     rows = [(f"PLANO_{i}", 99.9) for i in range(7)]
     df = spark.createDataFrame(rows, ["descricao", "valor"]).repartition(2)
@@ -125,10 +215,7 @@ def test_foreach_partition_upsert_executes_reference_statements(
         df, target, conflict_keys=["descricao"], batch_rows=3
     )
 
-    assert os.path.exists(log_path), "workers never reached the fake driver"
-    events = [
-        json.loads(line) for line in open(log_path) if line.strip()
-    ]
+    events = _read_events(psycopg2_log)
     connects = [e for e in events if e["op"] == "connect"]
     execs = [e for e in events if e["op"] == "executemany"]
 
@@ -147,3 +234,113 @@ def test_foreach_partition_upsert_executes_reference_statements(
     n_commits = sum(e["op"] == "commit" for e in events)
     n_closes = sum(e["op"] == "close" for e in events)
     assert n_commits == n_closes == len(connects) == 2
+
+
+@_skip_if_real_psycopg2
+def test_foreach_partition_full_reference_load_sequence(spark, psycopg2_log):
+    """All FOUR reference tables through the real foreachPartition
+    path in the reference's FK load order — statement text, parameter
+    order, and sequencing asserted from the worker-side log."""
+    open(psycopg2_log, "w").close()
+    url = "jdbc:postgresql://localhost:5432/etl_tsmx"
+
+    planos = spark.createDataFrame(
+        [("FIBRA 100MB", 79.9), ("FIBRA 500MB", 129.9)],
+        ["descricao", "valor"],
+    )
+    clientes = spark.createDataFrame(
+        [
+            ("ACME LTDA", "ACME", "04252011000110", "1990-01-05", "2024-03-01"),
+            ("BOB SILVA", "", "52998224725", "1985-11-20", "2024-03-02"),
+        ],
+        [
+            "nome_razao_social",
+            "nome_fantasia",
+            "cpf_cnpj",
+            "data_nascimento",
+            "data_cadastro",
+        ],
+    )
+    contratos = spark.createDataFrame(
+        [
+            (1, 1, 10, False, "Rua A", "12", "Centro", "Recife", "", "50000000", "PE", 1),
+            (2, 2, 5, False, "Rua B", "34", "Boa Vista", "Olinda", "ap 2", "53000000", "PE", 1),
+        ],
+        CONTRATOS_COLUMNS,
+    )
+    contatos = spark.createDataFrame(
+        [(1, 1, "8133334444"), (1, 3, "a@acme.com"), (2, 2, "81999998888")],
+        ["cliente_id", "tipo_contato_id", "contato"],
+    )
+
+    # the reference's FK dependency order (README.md:118); each
+    # foreachPartition is a blocking action, so the log is ordered
+    # across loads even with parallel partitions within one load
+    foreach_partition_upsert(
+        planos, JdbcTarget(url=url, table="tbl_planos"),
+        conflict_keys=["descricao"],
+    )
+    foreach_partition_upsert(
+        clientes, JdbcTarget(url=url, table="tbl_clientes"),
+        conflict_keys=["cpf_cnpj"],
+    )
+    foreach_partition_upsert(
+        contratos.repartition(2),
+        JdbcTarget(url=url, table="tbl_cliente_contratos"),
+        conflict_keys=None,  # reference issues a plain INSERT here
+    )
+    foreach_partition_upsert(
+        contatos, JdbcTarget(url=url, table="tbl_cliente_contatos"),
+        conflict_keys=None,  # plain INSERT (unique index arbitrates)
+    )
+
+    events = _read_events(psycopg2_log)
+    execs = [e for e in events if e["op"] == "executemany"]
+
+    # 1) statement text: exactly the four reference statements ran
+    assert {e["sql"] for e in execs} == {
+        PLANOS_SQL,
+        CLIENTES_SQL,
+        CONTRATOS_SQL,
+        CONTATOS_SQL,
+    }
+
+    # 2) FK-load sequencing: every statement of a dependency table
+    # ran strictly before any statement of its dependent table
+    order = [PLANOS_SQL, CLIENTES_SQL, CONTRATOS_SQL, CONTATOS_SQL]
+    first = {s: min(i for i, e in enumerate(execs) if e["sql"] == s) for s in order}
+    last = {s: max(i for i, e in enumerate(execs) if e["sql"] == s) for s in order}
+    for earlier, later in zip(order, order[1:]):
+        assert last[earlier] < first[later], (
+            f"{later} statements started before {earlier} finished"
+        )
+
+    # 3) parameter order: 12-tuple contratos params arrive in the
+    # reference's exact positional order (cliente_id first, status_id
+    # last), contatos as (cliente_id, tipo_contato_id, contato)
+    contratos_sent = sorted(
+        tuple(b) for e in execs if e["sql"] == CONTRATOS_SQL for b in e["batch"]
+    )
+    assert contratos_sent == sorted(
+        (
+            (1, 1, 10, False, "Rua A", "12", "Centro", "Recife", "", "50000000", "PE", 1),
+            (2, 2, 5, False, "Rua B", "34", "Boa Vista", "Olinda", "ap 2", "53000000", "PE", 1),
+        )
+    )
+    contatos_sent = sorted(
+        tuple(b) for e in execs if e["sql"] == CONTATOS_SQL for b in e["batch"]
+    )
+    assert contatos_sent == [
+        (1, 1, "8133334444"),
+        (1, 3, "a@acme.com"),
+        (2, 2, "81999998888"),
+    ]
+
+    # 4) every connection that opened was committed and closed
+    n_connect = sum(e["op"] == "connect" for e in events)
+    assert n_connect >= 4
+    assert (
+        sum(e["op"] == "commit" for e in events)
+        == sum(e["op"] == "close" for e in events)
+        == n_connect
+    )
