@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_xlsx_potgres_spark import registry
+from etl_xlsx_potgres_spark import caching, registry
 from etl_xlsx_potgres_spark.session import tune_for_oracle
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -265,7 +265,10 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]):
         # Queries are independent: drop whatever the PREVIOUS query
         # persisted so a 184-query verify session doesn't accumulate
         # cached frames (cache is a performance hint only — clearing
-        # between queries never changes results).
+        # between queries never changes results). release_persisted()
+        # is the explicit pair for every plans-side scoped_persist;
+        # clearCache() additionally sweeps anything outside the scope.
+        caching.release_persisted()
         spark.catalog.clearCache()
         return fn(spark, sf_dir)
 

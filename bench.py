@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_xlsx_potgres_spark import registry
+from etl_xlsx_potgres_spark import caching, registry
 from etl_xlsx_potgres_spark.session import get_spark
 
 # Queries representative of the engine's surface; None = every
@@ -99,6 +99,7 @@ def _reference_equivalent_sec(spark) -> float:
             )
         )
     elapsed = round(time.perf_counter() - t0, 3)
+    caching.release_persisted()
     spark.catalog.clearCache()
     return elapsed
 
@@ -131,6 +132,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         # queries are independent; drop any caches a query pinned so
         # memory pressure (GC storms) from one can't distort the next
+        caching.release_persisted()
         spark.catalog.clearCache()
         return round(time.perf_counter() - t0, 3)
 

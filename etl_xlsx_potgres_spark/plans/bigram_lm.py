@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..registry import register
 from ..sources import load_table
 
@@ -85,10 +86,12 @@ _SPARK_TOKENS = (
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "term"),
-    ).persist()  # one tokenize pass feeds cu, v, AND the bigram build
+    toks = scoped_persist(
+        d.select(
+            "doc_id",
+            F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "term"),
+        )
+    )  # one tokenize pass feeds cu, v, AND the bigram build
     w = Window.partitionBy("doc_id").orderBy("pos")
     bigrams = (
         toks.select(

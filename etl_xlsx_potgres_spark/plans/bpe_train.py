@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..registry import register
 from ..sources import load_table
 
@@ -107,12 +108,11 @@ def _duck_round(k: int) -> str:
 )
 def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    words = (
+    words = scoped_persist(
         d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         # the one corpus shuffle; every round below is vocab-sized
-        .persist()
     )
     w = words.select(
         "word",

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..registry import register
 from ..sources import load_table
 
@@ -123,7 +124,7 @@ def dedup_corpus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # much smaller frame, and derive BOTH the per-segment doc
     # frequency and the per-doc rollup from it — the same
     # single-scan discipline as text_oov_rate.
-    per = segs.groupBy("seg", "doc_id").agg(F.count(F.lit(1)).alias("k")).persist()
+    per = scoped_persist(segs.groupBy("seg", "doc_id").agg(F.count(F.lit(1)).alias("k")))
     freq = per.groupBy("seg").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.sum(
         F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(0)
@@ -223,7 +224,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # df derives from the (already per-doc-distinct) tf frame — one
     # explode pass, one shuffle, no second corpus tokenize.
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = scoped_persist(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf_grid = (
         F.floor(
@@ -312,7 +313,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One explode pass: the (doc, term) tf frame is the only
     # corpus-wide shuffle; the vocabulary (c = sum of tf) and the
     # corpus total both derive from it.
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = scoped_persist(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("c"))
     total = vocab.agg(F.sum("c").cast("long").alias("total"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
@@ -632,7 +633,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf is per-doc-distinct, so df = row count per term — both the
     # frequency table and the posting ranking reuse the ONE persisted
     # tf shuffle (no second corpus tokenize).
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = scoped_persist(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     salted = tf.withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(_SALTS)))

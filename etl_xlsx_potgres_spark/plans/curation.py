@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.text import fingerprint, shingles_long, token_count
 from ..registry import register
 from ..sources import load_table
@@ -53,7 +54,7 @@ MATERIALIZE_MODES = ("cache", "checkpoint", "none")
 
 def _materialize(df: DataFrame, mode: str) -> DataFrame:
     if mode == "cache":
-        return df.cache()
+        return scoped_persist(df)
     if mode == "checkpoint":
         # lazy: materializes on first use, then cuts lineage
         return df.localCheckpoint(eager=False)

@@ -26,6 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.text import (
     fingerprint,
     shingles_long,
@@ -90,7 +91,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # cached: the distinct shingle set feeds three consumers (sizes +
     # both join sides); without the cache the pipeline runs 3x
-    sh = shingles_long(d, "text", 3).distinct().cache()
+    sh = scoped_persist(shingles_long(d, "text", 3).distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("d1"), "s")
     b = sh.select(F.col("doc_id").alias("d2"), "s")
@@ -472,9 +473,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each of the 4 band substrings (4x recompute and a codegen method
     # past janino's comfort zone). 16 bytes/row — cache is free here;
     # at 100 TB this is a checkpoint, same policy as plans/curation.
-    sig = (
+    sig = scoped_persist(
         emb.select("vec_id", sign_plane_signature_pandas("embedding").alias("sig"))
-        .cache()
     )
     bands = sig.select(
         "vec_id",

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.text import sql_minhash_exprs
 from ..registry import register
 from ..sources import load_table
@@ -56,7 +57,7 @@ def connected_components(edges: DataFrame, vertex_col: str = "v") -> DataFrame:
     # edge side of the SortMergeJoin has no Exchange). Width follows
     # the session shuffle setting (cluster-sized), not a constant.
     w = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    both = both.distinct().repartition(w, "src").persist()
+    both = scoped_persist(both.distinct().repartition(w, "src"))
     both.count()  # materialize the cache before the loop
     labels = (
         both.select(F.col("src").alias("v"))

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..registry import register
 from ..sources import load_table
 from .dedup_fuzzy import _broadcast_threshold_bytes
@@ -62,12 +63,11 @@ def _vector_width(n_rows: int) -> int:
 def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
     """edges(src, dst) -> (vertex, rank). Undirected treatment: caller
     supplies both directions."""
-    vertices = (
+    vertices = scoped_persist(
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst")))
         .distinct()
         .coalesce(8)
-        .cache()
     )
     n = vertices.count()
     w = _vector_width(n)
@@ -75,8 +75,8 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     # width of whatever produced it (a union of two 200-partition
     # shuffles yields 400 near-empty partitions whose per-iteration
     # task-scheduling overhead dwarfs the compute)
-    edges = edges.repartition(w).cache()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w).cache()
+    edges = scoped_persist(edges.repartition(w))
+    out_deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w))
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
         # the rank/degree vectors are |V| rows — while they fit under
@@ -119,18 +119,17 @@ def pagerank_fixed(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     """edges(src, dst) -> (vertex, rank_fp BIGINT): PageRank on a
     1e12 fixed-point mass — every step integer-exact, hence
     bit-reproducible across engines, partitionings, and retries."""
-    vertices = (
+    vertices = scoped_persist(
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst")))
         .distinct()
         .coalesce(8)
-        .cache()
     )
     n = vertices.count()
     w = _vector_width(n)
     base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
-    edges = edges.repartition(w).cache()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w).cache()
+    edges = scoped_persist(edges.repartition(w))
+    out_deg = scoped_persist(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).coalesce(w))
     ranks = vertices.withColumn("rank_fp", F.lit(SCALE // n).cast("long"))
     for _ in range(n_iter):
         contribs = (

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import scoped_persist
 from ..registry import register
 from ..sources import register_views
 
@@ -71,7 +72,7 @@ FROM chain
 )
 def subquery_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
-    ranked = spark.sql(_RANKED_SQL).persist()
+    ranked = scoped_persist(spark.sql(_RANKED_SQL))
     ranked.createOrReplaceTempView("ranked")
     ranked.count()  # materialize before the recursion starts scanning
     return spark.sql(f"WITH RECURSIVE {_CHAIN_BODY}")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.text import tokens
 from ..registry import register
 from ..sources import load_table
@@ -92,12 +93,11 @@ def _duck_bucket(row: str, term: str) -> str:
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tc = (
+    tc = scoped_persist(
         d.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .persist()  # exact side AND sketch input: one tokenize pass
-    )
+    )  # exact side AND sketch input: one tokenize pass
     rows = spark.range(D).select(F.col("id").cast("int").alias("row_id"))
     cells = (
         tc.crossJoin(F.broadcast(rows))

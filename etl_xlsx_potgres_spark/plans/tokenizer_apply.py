@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators.text import tokens
 from ..registry import register
 from ..sources import load_table
@@ -72,13 +73,12 @@ _DUCK_TOKENS = (
 )
 def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = (
+    toks = scoped_persist(
         d.select(
             "doc_id", F.posexplode(tokens("text")).alias("pos0", "term")
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-        .persist()  # one tokenize pass feeds vocab AND encode
-    )
+    )  # one tokenize pass feeds vocab AND encode
     from ..operators.ids import global_row_number
 
     # bounded top-K (TakeOrderedAndProject) + range-partitioned row

@@ -93,10 +93,14 @@ def split_corrupt(
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from ..caching import scoped_persist
+
     if CORRUPT_COL not in df.columns:
         return df, df.filter(F.lit(False))
     if persist:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # scoped: released by caching.release_persisted() after the
+        # caller's action (harness does this between queries)
+        df = scoped_persist(df, StorageLevel.MEMORY_AND_DISK)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad
