@@ -30,6 +30,7 @@ from etl_xlsx_potgres_spark import registry  # noqa: E402
 from etl_xlsx_potgres_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
+PERTURB_EMBEDDINGS = False
 
 # table -> columns to offset per replica so keys stay unique
 OFFSETS = {
@@ -74,6 +75,22 @@ def build_scaled(spark, out_dir: str, mult: int) -> None:
             c = df
             for col, step in offs.items():
                 c = c.withColumn(col, (F.col(col) + F.lit(k * step)).cast(df.schema[col].dataType))
+            if table == "embeddings" and PERTURB_EMBEDDINGS and k > 0:
+                # rotate each vector by k positions per replica:
+                # norm-preserving but direction-changing, so replicas
+                # are NOT exact duplicates of the originals — without
+                # this, pair-emitting queries measure a replication
+                # artifact (10 identical copies => guaranteed
+                # cosine=1 pairs), not the plan's scaling.
+                r = k % 16 or 1
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {r} + 1, "
+                        f"size(embedding) - {r}), "
+                        f"slice(embedding, 1, {r}))"
+                    ),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
@@ -86,6 +103,8 @@ def time_queries(spark, sf_dir: str, passes: int = 3) -> dict[str, float]:
 
     out: dict[str, float] = {}
     samples: dict[str, list[float]] = {q: [] for q in QUERIES}
+    from etl_xlsx_potgres_spark import caching
+
     for _ in range(passes):
         for q in QUERIES:
             t0 = time.time()
@@ -93,6 +112,10 @@ def time_queries(spark, sf_dir: str, passes: int = 3) -> dict[str, float]:
                 "overwrite"
             ).save()
             samples[q].append(time.time() - t0)
+            # queries that persist would otherwise leave their caches
+            # hot for passes 2-3, understating the scaled timing
+            caching.release_persisted()
+            spark.catalog.clearCache()
     for q in QUERIES:
         out[q] = round(statistics.median(samples[q]), 3)
     return out
@@ -105,7 +128,12 @@ def main() -> int:
     ap.add_argument("--tables", default=None,
                     help="comma list: replicate only these (others copied 1x)")
     ap.add_argument("--queries", default=None, help="comma list subset")
+    ap.add_argument("--perturb-embeddings", action="store_true",
+                    help="rotate embedding arrays per replica (see build_scaled)")
     args = ap.parse_args()
+    if args.perturb_embeddings:
+        global PERTURB_EMBEDDINGS
+        PERTURB_EMBEDDINGS = True
     if args.tables:
         keep = set(args.tables.split(","))
         for t in list(OFFSETS):
