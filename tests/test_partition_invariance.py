@@ -37,6 +37,10 @@ NAMES = [
     # reuse, salted two-phase top-k, integer matvec reduce,
     # hash-keyed top-k sample, selection-based medians
     "emb_kmeans_iterations",
+    # r11: chunked EWMA — ordered float folds composed across chunk
+    # boundaries; any partition-dependence in the window order or the
+    # chunk combine would break bit-identity
+    "ts_ewma_chunked",
     "dedup_corpus_segments",
     "text_inverted_index",
     "emb_covariance_power_step",

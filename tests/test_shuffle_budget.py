@@ -69,6 +69,8 @@ BUDGETS = {
     "orc_roundtrip_ingest": 1,        # one partial+final agg over the ORC scan
     "fn_url_pack": 0,                 # parse_url projection, map-only
     "ts_ewma_by_user_type": 1,        # one groupBy; the fold is in-expression
+    "ts_ewma_chunked": 1,             # window exchange reused by both
+                                      # downstream (entity[,chunk]) aggs
     "agg_countmin_heavy_hitters": 2,  # term agg + <=192-cell grid agg (topk/est joins broadcast)
     "text_encode_ids": 10,            # corpus-scale: term agg + doc regroup; rest is
                                       # constant-K vocab top-k/global_row_number plumbing
