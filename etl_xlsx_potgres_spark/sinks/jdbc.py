@@ -16,12 +16,16 @@ SURVEY.md §3.3) — with:
   ``build_upsert_sql`` through ``foreachPartition`` when true
   statement-level ON CONFLICT is required.
 - ``foreach_partition_upsert``: per-partition batched
-  ``INSERT ... ON CONFLICT`` through a DB-API driver (psycopg2),
-  import-gated since this runtime ships no Postgres client/server.
+  ``INSERT ... ON CONFLICT`` through a DB-API driver — psycopg2 when
+  the executors have it, else the bundled pure-Python wire driver
+  (``sinks/pgwire``), so the live path has no client dependency.
 
-No Postgres is reachable in this environment; the statement builder
-and anti-join logic are unit-tested, the network paths are exercised
-in integration environments.
+The upsert path is exercised LIVE against a real PostgreSQL server in
+``tests/test_live_postgres.py`` (throwaway cluster per run: sequence
+id assignment, ON CONFLICT arbitration, FK enforcement, idempotent
+re-runs). The JVM-side paths (``append``/``read_keys``) are proven on
+Derby plus a Postgres-dialect statement-recording proof — this
+runtime ships no Postgres JDBC jar for the JVM.
 """
 
 from __future__ import annotations
@@ -147,13 +151,20 @@ def foreach_partition_upsert(
     conflict_keys: list[str] | None,
     do_update: bool = False,
     batch_rows: int = 1_000,
+    connect=None,
 ) -> None:
     """Executor-side batched ON CONFLICT upsert: each partition opens
     one connection and executes batched statements — preserves the
     reference's statement-level conflict semantics at partition
     parallelism instead of row-at-a-time. ``conflict_keys=None``
     issues the reference's plain-INSERT shape (its contratos/contatos
-    loads, ``etl_process.py:113-124,:167-174``)."""
+    loads, ``etl_process.py:113-124,:167-174``).
+
+    ``connect`` is any DB-API connect callable taking a DSN (psycopg2,
+    psycopg3, pg8000, ...). Default: psycopg2 when the executors have
+    it, else the bundled pure-Python wire driver (``sinks/pgwire``) —
+    so the live path runs even on clients-less runtimes like this
+    one."""
     columns = df.columns
     if conflict_keys is None:
         sql = build_insert_sql(target.table, columns)
@@ -162,14 +173,18 @@ def foreach_partition_upsert(
     dsn = target.dbapi_dsn()
 
     def write_partition(rows) -> None:
-        try:
-            import psycopg2
-        except ImportError as exc:  # pragma: no cover - no client in runtime
-            raise NotImplementedError(
-                "foreach_partition_upsert requires psycopg2 on executors; "
-                "use upsert_insert_if_absent (pure JDBC) instead"
-            ) from exc
-        conn = psycopg2.connect(dsn)
+        if connect is not None:
+            _connect = connect
+        else:
+            try:
+                import psycopg2
+
+                _connect = psycopg2.connect
+            except ImportError:
+                from etl_xlsx_potgres_spark.sinks import pgwire
+
+                _connect = pgwire.connect
+        conn = _connect(dsn)
         try:
             with conn.cursor() as cur:
                 batch = []

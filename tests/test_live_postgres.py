@@ -1,0 +1,239 @@
+"""LIVE Postgres execution of the executor-side load path — the last
+fidelity gap against the reference's sink surface (carried since r7 as
+"environment-blocked"; this runtime now ships the server binaries,
+and ``sinks/pgwire`` supplies the client the runtime lacks).
+
+A throwaway cluster is booted per test module (initdb + pg_ctl under
+the ``postgres`` system user, trust auth, loopback TCP on a free
+port), the four reference tables are created with the reference
+schema's key constraints (``docker/schema_database_pgsql.sql``:
+IDENTITY surrogate keys, UNIQUE descricao/cpf_cnpj, the contatos
+3-column UNIQUE, FKs), and ``foreach_partition_upsert`` runs the real
+``foreachPartition`` path from Spark executors through the wire
+driver. Asserted live: ON CONFLICT DO NOTHING dedup + idempotent
+re-run, sequence id assignment, FK-ordered loads, and that the
+contatos UNIQUE constraint genuinely arbitrates (a duplicate plain
+INSERT fails the job).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+
+import pytest
+
+from etl_xlsx_potgres_spark.sinks import pgwire
+from etl_xlsx_potgres_spark.sinks.jdbc import JdbcTarget
+from etl_xlsx_potgres_spark.sinks.jdbc import (
+    foreach_partition_upsert as _foreach_partition_upsert,
+)
+
+
+def foreach_partition_upsert(df, target, conflict_keys, **kw):
+    # pin the bundled wire driver: test_jdbc_upsert_exec addPyFile's a
+    # recording psycopg2 fake into the shared Spark session, which
+    # would shadow default driver resolution in a full-suite run
+    kw.setdefault("connect", pgwire.connect)
+    return _foreach_partition_upsert(df, target, conflict_keys, **kw)
+
+_HAVE_PG = all(shutil.which(b) for b in ("initdb", "pg_ctl", "postgres"))
+_IS_ROOT = hasattr(os, "geteuid") and os.geteuid() == 0
+_HAVE_RUNUSER = shutil.which("runuser") is not None
+
+pytestmark = pytest.mark.skipif(
+    not (_HAVE_PG and (not _IS_ROOT or _HAVE_RUNUSER)),
+    reason="PostgreSQL server binaries not available in this runtime",
+)
+
+DDL = [
+    """CREATE TABLE tbl_planos (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         descricao VARCHAR(255) UNIQUE,
+         valor NUMERIC(15,2))""",
+    """CREATE TABLE tbl_clientes (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         nome_razao_social VARCHAR(500),
+         nome_fantasia VARCHAR(500),
+         cpf_cnpj VARCHAR(20) UNIQUE,
+         data_nascimento DATE,
+         data_cadastro TIMESTAMP)""",
+    """CREATE TABLE tbl_cliente_contratos (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         cliente_id BIGINT NOT NULL REFERENCES tbl_clientes (id),
+         plano_id BIGINT NOT NULL REFERENCES tbl_planos (id),
+         dia_vencimento INTEGER,
+         isento BOOLEAN DEFAULT FALSE,
+         endereco_logradouro VARCHAR(500),
+         endereco_numero VARCHAR(50),
+         endereco_bairro VARCHAR(200),
+         endereco_cidade VARCHAR(200),
+         endereco_complemento VARCHAR(200),
+         endereco_cep VARCHAR(20),
+         endereco_uf VARCHAR(2),
+         status_id INTEGER)""",
+    """CREATE TABLE tbl_cliente_contatos (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         cliente_id BIGINT NOT NULL REFERENCES tbl_clientes (id),
+         tipo_contato_id INTEGER,
+         contato VARCHAR(500),
+         UNIQUE (cliente_id, tipo_contato_id, contato))""",
+]
+
+
+def _run_as_pg(args: list[str]) -> None:
+    cmd = (["runuser", "-u", "postgres", "--"] if _IS_ROOT else []) + args
+    subprocess.run(cmd, check=True, cwd="/tmp", capture_output=True)
+
+
+@pytest.fixture(scope="module")
+def pg_dsn():
+    base = tempfile.mkdtemp(prefix="pglive_", dir="/tmp")
+    os.chmod(base, 0o755)
+    data = os.path.join(base, "data")
+    os.mkdir(data)
+    if _IS_ROOT:
+        shutil.chown(data, user="postgres")
+        shutil.chown(base, user="postgres")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    _run_as_pg(["initdb", "-D", data, "-U", "spark", "--auth=trust", "-E", "UTF8"])
+    _run_as_pg([
+        "pg_ctl", "-D", data, "-w",
+        "-o", f"-p {port} -c listen_addresses=127.0.0.1 -k {base}",
+        "-l", os.path.join(base, "server.log"), "start",
+    ])
+    try:
+        yield f"postgresql://spark@127.0.0.1:{port}/postgres"
+    finally:
+        _run_as_pg(["pg_ctl", "-D", data, "-m", "immediate", "stop"])
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def pg(pg_dsn):
+    conn = pgwire.connect(pg_dsn)
+    with conn.cursor() as cur:
+        for ddl in DDL:
+            cur.execute(ddl)
+    conn.commit()
+    yield conn
+    conn.close()
+
+
+def _fetch(pg, sql):
+    with pg.cursor() as cur:
+        cur.execute(sql)
+        rows = cur.fetchall()
+    pg.commit()
+    return rows
+
+
+def test_wire_driver_basics(pg):
+    assert _fetch(pg, "SELECT 1 + 1") == [("2",)]
+    # interpolation escapes quotes; NULL/bool/date round-trip
+    with pg.cursor() as cur:
+        cur.execute(
+            "SELECT %s, %s, %s, %s",
+            ("O'Brien; DROP TABLE x", None, True, 42),
+        )
+        assert cur.fetchall() == [("O'Brien; DROP TABLE x", None, "t", "42")]
+    pg.rollback()
+    # a failed statement raises and the connection stays usable
+    with pytest.raises(pgwire.DatabaseError, match="42P01"):
+        with pg.cursor() as cur:
+            cur.execute("SELECT * FROM table_that_is_not_there")
+    pg.rollback()
+    assert _fetch(pg, "SELECT 7")[0] == ("7",)
+
+
+def test_live_reference_load_fk_order(spark, pg, pg_dsn):
+    url = "jdbc:" + pg_dsn
+
+    # planos with a duplicate descricao across partitions: the LIVE
+    # ON CONFLICT (descricao) DO NOTHING must arbitrate
+    planos = spark.createDataFrame(
+        [("FIBRA 100MB", 79.9), ("FIBRA 500MB", 129.9), ("FIBRA 100MB", 79.9)],
+        ["descricao", "valor"],
+    ).repartition(2)
+    foreach_partition_upsert(
+        planos, JdbcTarget(url=url, table="tbl_planos"),
+        conflict_keys=["descricao"],
+    )
+    assert _fetch(pg, "SELECT count(*) FROM tbl_planos") == [("2",)]
+
+    clientes = spark.createDataFrame(
+        [
+            ("ACME LTDA", "ACME", "04252011000110", "1990-01-05", "2024-03-01 10:00:00"),
+            ("BOB O'SILVA", "", "52998224725", "1985-11-20", "2024-03-02 11:30:00"),
+            ("ACME LTDA", "ACME", "04252011000110", "1990-01-05", "2024-03-01 10:00:00"),
+        ],
+        ["nome_razao_social", "nome_fantasia", "cpf_cnpj",
+         "data_nascimento", "data_cadastro"],
+    ).repartition(2)
+    foreach_partition_upsert(
+        clientes, JdbcTarget(url=url, table="tbl_clientes"),
+        conflict_keys=["cpf_cnpj"],
+    )
+    # sequence-assigned surrogate ids, dedup to 2 entities
+    ids = dict(_fetch(pg, "SELECT cpf_cnpj, id FROM tbl_clientes"))
+    assert len(ids) == 2
+    plano_ids = dict(_fetch(pg, "SELECT descricao, id FROM tbl_planos"))
+
+    # idempotent re-run: ON CONFLICT keeps counts stable
+    foreach_partition_upsert(
+        planos, JdbcTarget(url=url, table="tbl_planos"),
+        conflict_keys=["descricao"],
+    )
+    assert _fetch(pg, "SELECT count(*) FROM tbl_planos") == [("2",)]
+
+    # contratos: the reference's plain INSERT, with REAL FK ids read
+    # back from the live tables (the set-based replacement for its
+    # per-row buscar_id SELECTs)
+    contratos = spark.createDataFrame(
+        [
+            (int(ids["04252011000110"]), int(plano_ids["FIBRA 100MB"]),
+             10, False, "Rua A", "12", "Centro", "Recife", "", "50000000", "PE", 1),
+            (int(ids["52998224725"]), int(plano_ids["FIBRA 500MB"]),
+             5, False, "Rua B", "34", "Boa Vista", "Olinda", "ap 2", "53000000", "PE", 1),
+        ],
+        ["cliente_id", "plano_id", "dia_vencimento", "isento",
+         "endereco_logradouro", "endereco_numero", "endereco_bairro",
+         "endereco_cidade", "endereco_complemento", "endereco_cep",
+         "endereco_uf", "status_id"],
+    )
+    foreach_partition_upsert(
+        contratos, JdbcTarget(url=url, table="tbl_cliente_contratos"),
+        conflict_keys=None,
+    )
+    assert _fetch(
+        pg, "SELECT count(*) FROM tbl_cliente_contratos WHERE isento = FALSE"
+    ) == [("2",)]
+
+    contatos = spark.createDataFrame(
+        [
+            (int(ids["04252011000110"]), 1, "8133334444"),
+            (int(ids["04252011000110"]), 3, "a@acme.com"),
+            (int(ids["52998224725"]), 2, "81999998888"),
+        ],
+        ["cliente_id", "tipo_contato_id", "contato"],
+    )
+    target = JdbcTarget(url=url, table="tbl_cliente_contatos")
+    foreach_partition_upsert(contatos, target, conflict_keys=None)
+    assert _fetch(pg, "SELECT count(*) FROM tbl_cliente_contatos") == [("3",)]
+
+    # the contatos UNIQUE constraint genuinely arbitrates: replaying
+    # the same plain INSERTs fails the job (the reference survives
+    # this per-row via SAVEPOINT; our pipeline dedups upstream)
+    with pytest.raises(Exception, match="duplicate key"):
+        foreach_partition_upsert(contatos.coalesce(1), target, conflict_keys=None)
+    assert _fetch(pg, "SELECT count(*) FROM tbl_cliente_contatos") == [("3",)]
+
+    # FK enforcement is live too: an orphan cliente_id is rejected
+    orphan = spark.createDataFrame([(999999, 1, "x@y.z")], contatos.columns)
+    with pytest.raises(Exception, match="foreign key"):
+        foreach_partition_upsert(orphan, target, conflict_keys=None)
