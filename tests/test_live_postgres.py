@@ -237,3 +237,144 @@ def test_live_reference_load_fk_order(spark, pg, pg_dsn):
     orphan = spark.createDataFrame([(999999, 1, "x@y.z")], contatos.columns)
     with pytest.raises(Exception, match="foreign key"):
         foreach_partition_upsert(orphan, target, conflict_keys=None)
+
+
+REFPIPE_DDL = [
+    "CREATE SCHEMA refpipe",
+    """CREATE TABLE refpipe.tbl_planos (
+         id BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY,
+         descricao VARCHAR(255) UNIQUE,
+         valor NUMERIC(15,2))""",
+    """CREATE TABLE refpipe.tbl_clientes (
+         id BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY,
+         nome_razao_social VARCHAR(500),
+         nome_fantasia VARCHAR(500),
+         cpf_cnpj VARCHAR(20) UNIQUE,
+         data_nascimento DATE,
+         data_cadastro TIMESTAMP)""",
+    """CREATE TABLE refpipe.tbl_cliente_contratos (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         cliente_id BIGINT NOT NULL REFERENCES refpipe.tbl_clientes (id),
+         plano_id BIGINT NOT NULL REFERENCES refpipe.tbl_planos (id),
+         dia_vencimento INTEGER,
+         isento BOOLEAN DEFAULT FALSE,
+         endereco_logradouro VARCHAR(500),
+         endereco_numero VARCHAR(50),
+         endereco_bairro VARCHAR(200),
+         endereco_cidade VARCHAR(200),
+         endereco_complemento VARCHAR(200),
+         endereco_cep VARCHAR(20),
+         endereco_uf VARCHAR(2),
+         status_id INTEGER)""",
+    """CREATE TABLE refpipe.tbl_cliente_contatos (
+         id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         cliente_id BIGINT NOT NULL REFERENCES refpipe.tbl_clientes (id),
+         tipo_contato_id INTEGER,
+         contato VARCHAR(500),
+         UNIQUE (cliente_id, tipo_contato_id, contato))""",
+]
+
+
+def test_live_full_reference_pipeline(spark, pg, pg_dsn):
+    """The COMPLETE reference workload end-to-end into a live server:
+    1200-row workbook clone -> transform -> normalized star outputs ->
+    FK-ordered live load. The engine owns the surrogate ids
+    (GENERATED BY DEFAULT identities accept them; the pipeline's
+    row_number-by-key ids are exactly what its contratos FKs carry),
+    so referential integrity is proven BY the server's FK constraints
+    accepting every row — the reference needed ~2,400 per-row
+    buscar_id SELECTs for the same guarantee
+    (``etl_process.py:96-111``)."""
+    from etl_xlsx_potgres_spark.operators.ids import surrogate_ids
+    from etl_xlsx_potgres_spark.pipelines.etl_xlsx_postgres import (
+        build_outputs,
+        transform,
+    )
+    from etl_xlsx_potgres_spark.plans.reference_pipeline import workbook_clone
+
+    url = "jdbc:" + pg_dsn
+    with pg.cursor() as cur:
+        for ddl in REFPIPE_DDL:
+            cur.execute(ddl)
+    pg.commit()
+
+    cleaned = transform(workbook_clone(spark)).localCheckpoint(eager=True)
+    outs = build_outputs(cleaned)
+
+    plano_ids = surrogate_ids(
+        outs["planos"].select("descricao"), ["descricao"], "id"
+    )
+    cliente_ids = surrogate_ids(
+        outs["clientes"].select("cpf_cnpj"), ["cpf_cnpj"], "id"
+    )
+    loads = [
+        ("refpipe.tbl_planos",
+         outs["planos"].join(plano_ids, "descricao"), ["descricao"]),
+        ("refpipe.tbl_clientes",
+         outs["clientes"].join(cliente_ids, "cpf_cnpj"), ["cpf_cnpj"]),
+        ("refpipe.tbl_cliente_contratos", outs["contratos"], None),
+        # pipeline emits (tipo, tipo_id, contato); project to the sink
+        # schema. ON CONFLICT on the 3-column unique key is the
+        # set-based equivalent of the reference's SAVEPOINT-and-skip
+        # (etl_process.py:175-180)
+        ("refpipe.tbl_cliente_contatos",
+         outs["contatos"].selectExpr(
+             "cliente_id", "tipo_id AS tipo_contato_id", "contato"),
+         ["cliente_id", "tipo_contato_id", "contato"]),
+    ]
+    for table, df, keys in loads:
+        foreach_partition_upsert(
+            df.repartition(4), JdbcTarget(url=url, table=table), keys
+        )
+
+    def one(sql):
+        return int(_fetch(pg, sql)[0][0])
+
+    assert one("SELECT count(*) FROM refpipe.tbl_planos") == outs["planos"].count()
+    assert (
+        one("SELECT count(*) FROM refpipe.tbl_clientes")
+        == outs["clientes"].select("cpf_cnpj").distinct().count()
+    )
+    assert (
+        one("SELECT count(*) FROM refpipe.tbl_cliente_contratos")
+        == outs["contratos"].count()
+    )
+    assert (
+        one("SELECT count(*) FROM refpipe.tbl_cliente_contatos")
+        == outs["contatos"]
+        .select("cliente_id", "tipo_id", "contato")
+        .distinct()
+        .count()
+    )
+
+    # semantic spot check: per-plano contract counts in the DB match
+    # the engine-side aggregation
+    db_counts = {
+        desc: int(cnt)
+        for desc, cnt in _fetch(
+            pg,
+            "SELECT p.descricao, count(*) "
+            "FROM refpipe.tbl_cliente_contratos c "
+            "JOIN refpipe.tbl_planos p ON p.id = c.plano_id "
+            "GROUP BY p.descricao",
+        )
+    }
+    eng_counts = {
+        r["descricao"]: r["cnt"]
+        for r in outs["contratos"]
+        .join(plano_ids.withColumnRenamed("id", "plano_id"), "plano_id")
+        .groupBy("descricao")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert db_counts == eng_counts
+
+    # idempotent re-run of the two keyed loads leaves counts stable
+    for table, df, keys in loads[:2]:
+        foreach_partition_upsert(
+            df, JdbcTarget(url=url, table=table), keys
+        )
+    assert one("SELECT count(*) FROM refpipe.tbl_clientes") == len(
+        outs["clientes"].select("cpf_cnpj").distinct().collect()
+    )
