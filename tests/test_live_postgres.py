@@ -378,3 +378,48 @@ def test_live_full_reference_pipeline(spark, pg, pg_dsn):
     assert one("SELECT count(*) FROM refpipe.tbl_clientes") == len(
         outs["clientes"].select("cpf_cnpj").distinct().collect()
     )
+
+
+# -- wire-driver property tests (hypothesis) -------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.text(
+            # any printable unicode minus NUL (Postgres text can't
+            # hold NUL bytes at all — that's a server-side limit)
+            alphabet=st.characters(blacklist_characters="\x00"),
+            max_size=200,
+        )
+    )
+    def test_literal_roundtrip_any_text(pg, s):
+        """Whatever string the interpolator quotes — quotes,
+        backslashes, semicolons, unicode — the server must hand back
+        the identical value: proves the client-side escaping is
+        complete, including injection shapes like `'; DROP TABLE`."""
+        with pg.cursor() as cur:
+            cur.execute("SELECT %s::text", (s,))
+            assert cur.fetchall() == [(s,)]
+        pg.rollback()
+
+    @settings(max_examples=100, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    def test_literal_roundtrip_ints(pg, n):
+        with pg.cursor() as cur:
+            cur.execute("SELECT %s::bigint", (n,))
+            assert cur.fetchall() == [(str(n),)]
+        pg.rollback()
