@@ -16,11 +16,16 @@ codegen end to end; cost is O(alphabet * len) streaming character
 scans per row, embarrassingly parallel.
 
 Numeric determinism: every bucket count is an exact integer in both
-engines; probabilities and ``log2`` terms are evaluated in the SAME
-textual order on both sides (generated from one Python list), and the
-final entropy is rounded to 6 dp because Spark's ``log2`` (JVM
-``Math.log`` ratio) and DuckDB's (libm ``log2``) can differ in the
-last ulp.
+engines and fully hash-verified; the entropy column is rounded
+because Spark's ``log2`` (JVM ``Math.log`` ratio, not correctly
+rounded) and DuckDB's (libm ``log2``) can diverge by ~1e-12 across
+the 29-term sum — no rounding precision is bit-SAFE (a value can land
+inside the divergence window around any rounding boundary; the r11
+sf0.1 sweep caught doc 4558 at 4.0559575±5e-13 with 6 dp), so the
+precision is chosen to make a boundary hit unlikely: at 4 dp the
+window-to-quantum ratio is ~1e-8 per document. The exact fix would
+need a shared log2 (neither engine exposes one); the integer columns
+carry the exactly-verified signal.
 
 Reference lifecycle note: the reference engine (``etl_process.py``)
 has no corpus-quality stage; this extends the driver-mandated text
@@ -68,7 +73,7 @@ def _entropy_sql(buckets: list[str], total: str) -> str:
         f"* log2({b} * 1.0 / {total}) ELSE 0.0 END"
         for b in buckets
     ]
-    return "round(" + " + ".join(terms) + ", 6)"
+    return "round(" + " + ".join(terms) + ", 4)"
 
 
 _BUCKETS = [f"c_{ch}" for ch in _LETTERS] + ["c_digit", "c_space", "c_other"]

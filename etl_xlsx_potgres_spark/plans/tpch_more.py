@@ -239,7 +239,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q11 shape: important stock — per-part shipped value for one nation's
-# suppliers, HAVING above a scalar-subquery fraction of the total.
+# suppliers, HAVING above a scalar-subquery threshold. The spec's
+# threshold is FRACTION-OF-TOTAL with the fraction scaled inversely to
+# SF (0.0001/SF); with a fixed fraction the r11 sf0.1 sweep went
+# VACUOUS (10x the parts -> every share below 0.3%). A multiple of the
+# MEAN per-part value is the scale-free equivalent: the qualifying
+# tail stays ~1% of parts at any SF (measured: 11/893 at sf0.01,
+# 200/15353 at sf0.1), and the plan keeps the same scalar-subquery
+# crossJoin(broadcast) shape.
 @register(
     "q11_important_stock",
     oracle="""
@@ -255,7 +262,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey)
     SELECT l_partkey AS p_key, CAST(fval AS DOUBLE)/10000 AS part_value
     FROM v
-    WHERE CAST(fval AS DOUBLE) > (SELECT 0.003 * CAST(SUM(fval) AS DOUBLE) FROM v)
+    WHERE CAST(fval AS DOUBLE) > (SELECT 3.0 * (CAST(SUM(fval) AS DOUBLE) / COUNT(*)) FROM v)
     ORDER BY part_value DESC, p_key
     """,
 )
@@ -272,8 +279,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("fval"))
     )
+    # mean via exact decimal SUM / exact COUNT (a double AVG would
+    # sum in engine- and partition-dependent order); the division and
+    # the 3.0 scaling are single deterministic double ops
     total = per_part.agg(
-        (0.003 * F.sum("fval").cast("double")).alias("threshold")
+        (3.0 * (F.sum("fval").cast("double") / F.count(F.lit(1)))).alias(
+            "threshold"
+        )
     )
     return (
         per_part.crossJoin(F.broadcast(total))
