@@ -399,9 +399,14 @@ if _HAVE_HYP:
     )
     @given(
         st.text(
-            # any printable unicode minus NUL (Postgres text can't
-            # hold NUL bytes at all — that's a server-side limit)
-            alphabet=st.characters(blacklist_characters="\x00"),
+            # any unicode minus NUL (Postgres text can't hold NUL
+            # bytes — a server-side limit) and lone surrogates
+            # (category Cs: not encodable as UTF-8, so not valid
+            # Postgres text either)
+            alphabet=st.characters(
+                blacklist_characters="\x00",
+                blacklist_categories=("Cs",),
+            ),
             max_size=200,
         )
     )

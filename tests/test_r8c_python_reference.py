@@ -108,7 +108,7 @@ def test_char_entropy_vs_python(spark, sf_dir):
         assert r.n_digits == buckets["digit"]
         assert r.n_spaces == buckets["space"]
         assert r.n_other == buckets["other"]
-        assert abs(r.char_entropy - ent) < 1e-5  # query rounds to 6 dp
+        assert abs(r.char_entropy - ent) < 1e-3  # query rounds to 4 dp (r11)
 
 
 def test_encode_ids_digest_vs_python(spark, sf_dir):
