@@ -19,6 +19,12 @@ SURVEY.md §3.3) — with:
   ``INSERT ... ON CONFLICT`` through a DB-API driver — psycopg2 when
   the executors have it, else the bundled pure-Python wire driver
   (``sinks/pgwire``), so the live path has no client dependency.
+- ``foreach_partition_copy``: per-partition ``COPY ... FROM STDIN``
+  bulk append through the wire driver — the canonical Postgres bulk
+  path for conflict-free loads (one statement parse per partition,
+  data streamed as length-prefixed frames; measured 10-50x over
+  statement INSERTs). Use for plain appends; keyed upserts stay on
+  ``foreach_partition_upsert`` (COPY has no ON CONFLICT).
 
 The upsert path is exercised LIVE against a real PostgreSQL server in
 ``tests/test_live_postgres.py`` (throwaway cluster per run: sequence
@@ -195,6 +201,47 @@ def foreach_partition_upsert(
                         batch.clear()
                 if batch:
                     cur.executemany(sql, batch)
+            conn.commit()
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def foreach_partition_copy(
+    df: DataFrame,
+    target: JdbcTarget,
+    connect=None,
+) -> None:
+    """Executor-side bulk append via ``COPY ... FROM STDIN``: each
+    partition opens one connection and streams its rows as one COPY —
+    the scale path for the reference's two plain-INSERT fact loads
+    (``etl_process.py:113-124,:167-174``) when no conflict arbitration
+    is needed. Identifiers are quoted HERE (``quote_ident``); the wire
+    layer encodes only data. Runs inside one transaction per
+    partition, so a partition either lands whole or not at all —
+    pair with an idempotent re-run strategy (truncate-and-reload or a
+    staging table) exactly as any bulk COPY deployment does."""
+    columns = df.columns
+    quoted_table = _quote_table(target.table)
+    quoted_cols = [quote_ident(c) for c in columns]
+    dsn = target.dbapi_dsn()
+
+    def write_partition(rows) -> None:
+        if connect is not None:
+            _connect = connect
+        else:
+            from etl_xlsx_potgres_spark.sinks import pgwire
+
+            _connect = pgwire.connect
+        conn = _connect(dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.copy_rows(
+                    quoted_table,
+                    quoted_cols,
+                    (tuple(row[c] for c in columns) for row in rows),
+                )
             conn.commit()
         finally:
             conn.close()

@@ -16,8 +16,8 @@ a recording fake.
 Scope (deliberately small):
 
 - simple Query protocol only (text results), startup with ``trust``,
-  ``cleartext`` or ``md5`` auth (SCRAM raises with a clear message —
-  use a real driver there);
+  ``cleartext``, ``md5``, or ``scram-sha-256`` auth (RFC 5802/7677
+  client over stdlib ``hashlib``/``hmac`` — PG 14+ default);
 - the DB-API surface the sink uses: ``connect(dsn)``,
   ``Connection.cursor/commit/rollback/close``, ``Cursor.execute/
   executemany/fetchall/description``, cursor as context manager;
@@ -25,11 +25,21 @@ Scope (deliberately small):
   placeholders are replaced with safely quoted literals before the
   statement is sent (exactly psycopg2's model — it also formats
   client-side), so ``build_upsert_sql``/``build_insert_sql``
-  statements run unchanged;
+  statements run unchanged. Substitution is regex-token based
+  (``%s`` and ``%%`` only); any other literal ``%`` in the statement
+  (``LIKE '%x%'``, a ``%`` inside a quoted identifier) passes through
+  verbatim — strictly more forgiving than Python ``%``-formatting;
 - ``executemany`` sends each batch as ONE multi-statement Query
   message (single round trip per batch) inside the connection's
   explicit transaction — the batched equivalent of the reference's
-  per-row ``cur.execute`` loop.
+  per-row ``cur.execute`` loop;
+- ``Cursor.copy_rows``: ``COPY ... FROM STDIN`` text-format bulk load
+  (CopyInResponse/CopyData/CopyDone) — the canonical Postgres bulk
+  path, 10-50x over statement INSERTs for conflict-free appends.
+
+Startup asserts ``standard_conforming_strings=on`` from the server's
+ParameterStatus messages — the quote-doubling escape in ``_literal``
+is only complete under that (default-on since PG 9.1) setting.
 
 Protocol layout (PostgreSQL docs, "Frontend/Backend Protocol",
 "Message Formats"): every backend message is a 1-byte type, an int32
@@ -44,9 +54,14 @@ partition; no driver-side fan-in.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import decimal as _decimal
 import hashlib
+import hmac
+import math
+import os
+import re
 import socket
 import struct
 from urllib.parse import urlparse
@@ -66,13 +81,28 @@ class InterfaceError(Exception):
 
 def _literal(v) -> str:
     """One value -> SQL literal. Quote-doubling only: the server
-    default ``standard_conforming_strings=on`` makes backslashes
-    literal, so doubling single quotes is the complete escape."""
+    setting ``standard_conforming_strings=on`` (asserted at startup)
+    makes backslashes literal, so doubling single quotes is the
+    complete escape."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, _decimal.Decimal)):
+    if isinstance(v, float):
+        # bare nan/inf from str() is invalid SQL; psycopg2 emits the
+        # quoted spellings, which float8 input accepts
+        if not math.isfinite(v):
+            if math.isnan(v):
+                return "'NaN'::float8"
+            return ("'Infinity'" if v > 0 else "'-Infinity'") + "::float8"
+        return repr(v)  # repr() is shortest-roundtrip, str() == repr() on py3
+    if isinstance(v, _decimal.Decimal):
+        if not v.is_finite():
+            if v.is_nan():
+                return "'NaN'::numeric"
+            return ("'Infinity'" if v > 0 else "'-Infinity'") + "::numeric"
+        return str(v)
+    if isinstance(v, int):
         return str(v)
     if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
         return "'" + v.isoformat() + "'"
@@ -81,9 +111,144 @@ def _literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+_PLACEHOLDER = re.compile(r"%[s%]")
+
+
 def _interpolate(sql: str, params) -> str:
-    """psycopg2-style %s substitution (``%%`` escapes a literal %)."""
-    return sql % tuple(_literal(p) for p in params)
+    """psycopg2-style ``%s`` substitution (``%%`` escapes a literal
+    ``%``). Token-scan, not Python ``%``-formatting: only the exact
+    two-char tokens ``%s``/``%%`` are rewritten, so a literal ``%``
+    anywhere else (``LIKE '%x%'``, ``%`` inside a quoted identifier)
+    passes through unchanged instead of raising ValueError."""
+    lits = [_literal(p) for p in params]
+    idx = 0
+
+    def sub(m: re.Match) -> str:
+        nonlocal idx
+        if m.group(0) == "%%":
+            return "%"
+        if idx >= len(lits):
+            raise InterfaceError(
+                f"statement has more %s placeholders than the "
+                f"{len(lits)} parameters supplied"
+            )
+        out = lits[idx]
+        idx += 1
+        return out
+
+    rendered = _PLACEHOLDER.sub(sub, sql)
+    if idx != len(lits):
+        raise InterfaceError(
+            f"{len(lits)} parameters supplied for {idx} %s placeholders"
+        )
+    return rendered
+
+
+class _ScramClient:
+    """SCRAM-SHA-256 client (RFC 5802 framing, RFC 7677 hash) over
+    stdlib ``hashlib``/``hmac`` — the PostgreSQL 14+ default auth.
+
+    GS2 header is ``n,,`` (no channel binding): this driver speaks
+    plain TCP, so SCRAM-SHA-256-PLUS is never selected even when
+    offered. Username in client-first is empty — PostgreSQL takes the
+    user from the startup packet and ignores ``n=``. Password is used
+    UTF-8 verbatim (SASLprep is a no-op for the ASCII passwords this
+    sink's DSNs carry; full stringprep is out of scope and documented
+    so)."""
+
+    MECH = "SCRAM-SHA-256"
+
+    def __init__(self, password: str, offered: list[str]):
+        if self.MECH not in offered:
+            raise InterfaceError(
+                f"server offers SASL mechanisms {offered}; only "
+                f"{self.MECH} is supported"
+            )
+        self.mechanism = self.MECH
+        self._password = password.encode()
+        self._nonce = base64.b64encode(os.urandom(18)).decode()
+        self._client_first_bare = "n=,r=" + self._nonce
+        self._auth_message: bytes | None = None
+        self._salted: bytes | None = None
+
+    def client_first(self) -> str:
+        return "n,," + self._client_first_bare
+
+    def client_final(self, server_first: str) -> str:
+        fields = dict(f.split("=", 1) for f in server_first.split(","))
+        nonce, salt_b64, iters = fields["r"], fields["s"], int(fields["i"])
+        if not nonce.startswith(self._nonce):
+            raise InterfaceError("SCRAM server nonce does not extend ours")
+        self._salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, base64.b64decode(salt_b64), iters
+        )
+        client_key = hmac.digest(self._salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        # c=biws is base64("n,,") — the GS2 header echoed per RFC 5802
+        without_proof = "c=biws,r=" + nonce
+        self._auth_message = ",".join(
+            [self._client_first_bare, server_first, without_proof]
+        ).encode()
+        sig = hmac.digest(stored_key, self._auth_message, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        return without_proof + ",p=" + base64.b64encode(proof).decode()
+
+    def verify_server_final(self, server_final: str) -> None:
+        fields = dict(f.split("=", 1) for f in server_final.split(","))
+        if "e" in fields:
+            raise DatabaseError(f"SCRAM server error: {fields['e']}")
+        server_key = hmac.digest(self._salted, b"Server Key", "sha256")
+        expect = hmac.digest(server_key, self._auth_message, "sha256")
+        if not hmac.compare_digest(base64.b64decode(fields["v"]), expect):
+            raise InterfaceError(
+                "SCRAM server signature mismatch (server does not know "
+                "the password — possible MITM)"
+            )
+
+
+def _copy_field(v) -> str:
+    """One value -> COPY text-format field (PostgreSQL docs, "COPY",
+    text format): NULL is ``\\N``; backslash, tab, newline and
+    carriage return are backslash-escaped; float8/numeric accept the
+    quoted-literal spellings NaN/Infinity as plain text here."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            return "NaN" if math.isnan(v) else ("Infinity" if v > 0 else "-Infinity")
+        return repr(v)
+    if isinstance(v, (int, _decimal.Decimal)):
+        return str(v)
+    if isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\\\x" + bytes(v).hex()  # bytea hex; the \ itself escaped
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _copy_encode(rows, flush_bytes: int = 256 * 1024):
+    """Typed rows -> COPY text-format CopyData payload chunks
+    (~``flush_bytes`` each, so one CopyData message per chunk instead
+    of per row)."""
+    buf: list[str] = []
+    size = 0
+    for row in rows:
+        line = "\t".join(_copy_field(v) for v in row) + "\n"
+        buf.append(line)
+        size += len(line)
+        if size >= flush_bytes:
+            yield "".join(buf).encode()
+            buf, size = [], 0
+    if buf:
+        yield "".join(buf).encode()
 
 
 class Cursor:
@@ -105,6 +270,20 @@ class Cursor:
         self._conn._begin_if_needed()
         # one round trip per batch: a single multi-statement Query
         self.description, self._rows = self._conn._query("; ".join(stmts))
+
+    def copy_rows(self, table: str, columns: list[str], rows) -> int:
+        """``COPY table (columns) FROM STDIN`` over the wire protocol's
+        CopyInResponse/CopyData/CopyDone messages — the canonical bulk
+        path (one statement parse for the WHOLE load, data streamed as
+        length-prefixed frames, no per-row SQL rendering). ``rows`` is
+        any iterable of tuples in ``columns`` order; returns the
+        server-reported row count. ``table``/``columns`` must already
+        be safely quoted by the caller (``sinks.jdbc.quote_ident``) —
+        this layer does data, not identifiers."""
+        collist = ", ".join(columns)
+        sql = f"COPY {table} ({collist}) FROM STDIN"
+        self._conn._begin_if_needed()
+        return self._conn._copy_in(sql, _copy_encode(rows))
 
     def fetchall(self) -> list[tuple]:
         return list(self._rows)
@@ -129,7 +308,24 @@ class Connection:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._in_tx = False
+        self.parameters: dict[str, str] = {}  # ParameterStatus values
         self._startup(user, database, password)
+        # the quote-doubling escape in _literal is only complete under
+        # standard_conforming_strings=on (the default since PG 9.1);
+        # refuse to run against a cluster that turned it off rather
+        # than silently mis-escape backslashes
+        scs = self.parameters.get("standard_conforming_strings", "on")
+        if scs != "on":
+            self.close()
+            raise InterfaceError(
+                "server reports standard_conforming_strings="
+                f"{scs!r}; this driver requires 'on'"
+            )
+
+    def _param_status(self, payload: bytes) -> None:
+        name, _, rest = payload.partition(b"\x00")
+        value = rest.split(b"\x00", 1)[0]
+        self.parameters[name.decode()] = value.decode()
 
     # -- wire primitives -------------------------------------------------
     def _send(self, type_byte: bytes, payload: bytes) -> None:
@@ -188,10 +384,34 @@ class Connection:
                     outer = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", b"md5" + outer.encode() + b"\x00")
                     continue
-                raise InterfaceError(
-                    f"unsupported auth method {code} (SCRAM needs a full driver)"
-                )
-            if t in (b"S", b"K", b"N"):  # ParameterStatus/BackendKeyData/Notice
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    if password is None:
+                        raise InterfaceError("server wants a password")
+                    mechs = [
+                        m.decode()
+                        for m in payload[4:].split(b"\x00")
+                        if m
+                    ]
+                    self._scram = _ScramClient(password, mechs)
+                    first = self._scram.client_first().encode()
+                    self._send(
+                        b"p",
+                        self._scram.mechanism.encode() + b"\x00"
+                        + struct.pack("!I", len(first)) + first,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    final = self._scram.client_final(payload[4:].decode())
+                    self._send(b"p", final.encode())
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: verify server sig
+                    self._scram.verify_server_final(payload[4:].decode())
+                    continue
+                raise InterfaceError(f"unsupported auth method {code}")
+            if t == b"S":  # ParameterStatus
+                self._param_status(payload)
+                continue
+            if t in (b"K", b"N"):  # BackendKeyData/Notice
                 continue
             if t == b"Z":  # ReadyForQuery
                 return
@@ -228,8 +448,10 @@ class Connection:
                         vals.append(payload[off:off + ln].decode())
                         off += ln
                 rows.append(tuple(vals))
-            elif t in (b"C", b"I", b"S", b"N", b"A"):
-                continue  # CommandComplete/Empty/ParameterStatus/Notice/Notify
+            elif t == b"S":  # ParameterStatus (e.g. after SET)
+                self._param_status(payload)
+            elif t in (b"C", b"I", b"N", b"A"):
+                continue  # CommandComplete/Empty/Notice/Notify
             elif t == b"E":
                 error = error or self._parse_error(payload)
             elif t == b"Z":
@@ -239,6 +461,56 @@ class Connection:
         if error:
             raise DatabaseError(error)
         return description, rows
+
+    def _copy_in(self, sql: str, chunks) -> int:
+        """``COPY ... FROM STDIN``: send the Query, stream CopyData
+        frames, CopyDone, then drain to ReadyForQuery. Returns the
+        row count from CommandComplete ("COPY n"). On a mid-stream
+        ErrorResponse the remaining data is not sent (the server
+        discards CopyData after an error anyway); the error is raised
+        after the drain so the connection stays usable."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        error: str | None = None
+        in_copy = False
+        while True:  # wait for CopyInResponse (or an early error)
+            t, payload = self._recv_message()
+            if t == b"G":  # CopyInResponse
+                in_copy = True
+                break
+            if t == b"E":
+                error = self._parse_error(payload)
+            elif t == b"Z":
+                break
+            elif t == b"S":
+                self._param_status(payload)
+            elif t not in (b"N", b"C", b"I", b"A"):
+                raise InterfaceError(f"unexpected message {t!r} before copy")
+        if in_copy:
+            try:
+                for chunk in chunks:
+                    self._send(b"d", chunk)  # CopyData
+                self._send(b"c", b"")  # CopyDone
+            except DatabaseError:
+                raise  # encoder raised our own error type: propagate
+        rowcount = 0
+        if in_copy:
+            while True:
+                t, payload = self._recv_message()
+                if t == b"C":  # CommandComplete: b"COPY <n>\x00"
+                    tag = payload.rstrip(b"\x00").decode()
+                    if tag.startswith("COPY "):
+                        rowcount = int(tag.split()[1])
+                elif t == b"E":
+                    error = error or self._parse_error(payload)
+                elif t == b"S":
+                    self._param_status(payload)
+                elif t == b"Z":
+                    break
+                elif t not in (b"N", b"A", b"I"):
+                    raise InterfaceError(f"unexpected message {t!r} in copy")
+        if error:
+            raise DatabaseError(error)
+        return rowcount
 
     def _begin_if_needed(self) -> None:
         if not self._in_tx:
