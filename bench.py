@@ -126,6 +126,16 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
 
+    # Load accounting (VERDICT r12 task 4): per-query spreads up to
+    # ~7x across passes tracked host-load drift, which makes
+    # round-over-round totals incomparable unless the load under
+    # which they were measured is recorded WITH them. 1-min loadavg
+    # is sampled at suite start and after every pass; a run whose
+    # max loadavg exceeds the worker count is flagged so the judge
+    # (and the next round) can discount it.
+    cpus = os.cpu_count() or 1
+    loadavg_1m: list[float] = [round(os.getloadavg()[0], 2)]
+
     def run_once(name: str) -> float:
         df = registry.QUERIES[name](spark, sf_dir)
         t0 = time.perf_counter()
@@ -139,6 +149,7 @@ def main() -> None:
     for _ in range(n_runs):
         for name in names:  # pinned order every pass
             samples[name].append(run_once(name))
+        loadavg_1m.append(round(os.getloadavg()[0], 2))
 
     # Noisy-tail escalation: a query whose sample spread exceeds 2x is
     # dominated by suite interleaving, not by its own plan — take extra
@@ -166,6 +177,7 @@ def main() -> None:
     ref_samples = [_reference_equivalent_sec(spark) for _ in range(n_runs)]
     samples["reference_pipeline_1200rows"] = ref_samples
     times["reference_pipeline_1200rows"] = round(statistics.median(ref_samples), 3)
+    loadavg_1m.append(round(os.getloadavg()[0], 2))
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -178,6 +190,13 @@ def main() -> None:
         "warmup_sec": round(warm, 3),
         "bench_runs": n_runs,
         "stat": "median",
+        # start + one sample per pass + one after the ref pipeline;
+        # the bench itself drives loadavg toward the worker count, so
+        # "quiet" means the START sample is low and the in-run samples
+        # stay near (not far above) the worker count
+        "loadavg_1m": loadavg_1m,
+        "host_cpus": cpus,
+        "load_flag": max(loadavg_1m) > cpus,
     }
 
     # Full per-query detail always lands next to this script; the

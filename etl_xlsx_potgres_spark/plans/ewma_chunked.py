@@ -109,6 +109,16 @@ CHUNK = 4
     """,
 )
 def ts_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunked_ewma_plan(spark, sf_dir, CHUNK)
+
+
+def chunked_ewma_plan(
+    spark: SparkSession, sf_dir: str, chunk: int
+) -> DataFrame:
+    """The chunked fold at an arbitrary chunk length L — the affine
+    composition is chunk-size-invariant (tests exercise L in
+    {2, 4, 64} against the plain per-entity fold); the registered
+    query pins L = CHUNK so the oracle SQL and the plan agree."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     pos = e.select(
@@ -119,7 +129,7 @@ def ts_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = (
         pos.withColumn(
-            "chunk_id", F.floor((F.col("pos") - 1) / CHUNK).cast("long")
+            "chunk_id", F.floor((F.col("pos") - 1) / chunk).cast("long")
         )
         .groupBy("user_id", "event_type", "chunk_id")
         .agg(

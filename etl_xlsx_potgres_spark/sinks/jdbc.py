@@ -221,27 +221,47 @@ def foreach_partition_copy(
     layer encodes only data. Runs inside one transaction per
     partition, so a partition either lands whole or not at all —
     pair with an idempotent re-run strategy (truncate-and-reload or a
-    staging table) exactly as any bulk COPY deployment does."""
+    staging table) exactly as any bulk COPY deployment does.
+
+    ``connect`` (when given) may yield either pgwire-style cursors
+    (``copy_rows``) or psycopg2/psycopg3-style cursors
+    (``copy_expert``) — both take the COPY fast path; any other
+    DB-API cursor raises a clear TypeError rather than an
+    executor-side AttributeError."""
     columns = df.columns
     quoted_table = _quote_table(target.table)
     quoted_cols = [quote_ident(c) for c in columns]
     dsn = target.dbapi_dsn()
 
     def write_partition(rows) -> None:
-        if connect is not None:
-            _connect = connect
-        else:
-            from etl_xlsx_potgres_spark.sinks import pgwire
+        from etl_xlsx_potgres_spark.sinks import pgwire
 
-            _connect = pgwire.connect
+        _connect = connect if connect is not None else pgwire.connect
+        row_iter = (tuple(row[c] for c in columns) for row in rows)
         conn = _connect(dsn)
         try:
             with conn.cursor() as cur:
-                cur.copy_rows(
-                    quoted_table,
-                    quoted_cols,
-                    (tuple(row[c] for c in columns) for row in rows),
-                )
+                if hasattr(cur, "copy_rows"):  # bundled pgwire driver
+                    cur.copy_rows(quoted_table, quoted_cols, row_iter)
+                elif hasattr(cur, "copy_expert"):  # psycopg2/psycopg3
+                    import io
+
+                    sql = (
+                        f"COPY {quoted_table} "
+                        f"({', '.join(quoted_cols)}) FROM STDIN"
+                    )
+                    payload = io.BytesIO(
+                        b"".join(pgwire._copy_encode(row_iter))
+                    )
+                    cur.copy_expert(sql, payload)
+                else:
+                    raise TypeError(
+                        "foreach_partition_copy needs a cursor with "
+                        "copy_rows (pgwire) or copy_expert (psycopg2); "
+                        f"got {type(cur).__name__} — use "
+                        "foreach_partition_upsert for generic DB-API "
+                        "drivers"
+                    )
             conn.commit()
         finally:
             conn.close()

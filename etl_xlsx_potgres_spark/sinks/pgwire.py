@@ -194,6 +194,11 @@ class _ScramClient:
         return without_proof + ",p=" + base64.b64encode(proof).decode()
 
     def verify_server_final(self, server_final: str) -> None:
+        if self._salted is None or self._auth_message is None:
+            raise InterfaceError(
+                "out-of-order SASL message: server-final received "
+                "before client-final was computed"
+            )
         fields = dict(f.split("=", 1) for f in server_final.split(","))
         if "e" in fields:
             raise DatabaseError(f"SCRAM server error: {fields['e']}")
@@ -280,6 +285,8 @@ class Cursor:
         server-reported row count. ``table``/``columns`` must already
         be safely quoted by the caller (``sinks.jdbc.quote_ident``) —
         this layer does data, not identifiers."""
+        self.description = None  # COPY returns no result set: clear any
+        self._rows = []          # stale rows from a prior execute()
         collist = ", ".join(columns)
         sql = f"COPY {table} ({collist}) FROM STDIN"
         self._conn._begin_if_needed()
@@ -308,6 +315,7 @@ class Connection:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self._in_tx = False
+        self._scram: _ScramClient | None = None
         self.parameters: dict[str, str] = {}  # ParameterStatus values
         self._startup(user, database, password)
         # the quote-doubling escape in _literal is only complete under
@@ -401,10 +409,20 @@ class Connection:
                     )
                     continue
                 if code == 11:  # AuthenticationSASLContinue
+                    if self._scram is None:
+                        raise InterfaceError(
+                            "out-of-order SASL message: SASLContinue "
+                            "before AuthenticationSASL"
+                        )
                     final = self._scram.client_final(payload[4:].decode())
                     self._send(b"p", final.encode())
                     continue
                 if code == 12:  # AuthenticationSASLFinal: verify server sig
+                    if self._scram is None:
+                        raise InterfaceError(
+                            "out-of-order SASL message: SASLFinal "
+                            "before AuthenticationSASL"
+                        )
                     self._scram.verify_server_final(payload[4:].decode())
                     continue
                 raise InterfaceError(f"unsupported auth method {code}")
@@ -490,8 +508,25 @@ class Connection:
                 for chunk in chunks:
                     self._send(b"d", chunk)  # CopyData
                 self._send(b"c", b"")  # CopyDone
-            except DatabaseError:
-                raise  # encoder raised our own error type: propagate
+            except Exception as exc:
+                # Encoder/iterator failure mid-stream: the server is
+                # still in copy-in state, so a plain re-raise would
+                # leave the connection wedged (any later 'Q' is an
+                # unexpected message during COPY). Send CopyFail and
+                # drain to ReadyForQuery so the connection stays
+                # usable, then propagate the original error.
+                reason = str(exc)[:200].encode("utf-8", "replace")
+                self._send(b"f", reason + b"\x00")  # CopyFail
+                while True:
+                    t, payload = self._recv_message()
+                    if t == b"Z":
+                        break
+                    if t == b"S":
+                        self._param_status(payload)
+                    # 'E' (the server acknowledging CopyFail), 'N',
+                    # 'C', 'A' are all drained silently: the client-side
+                    # exception is the error the caller needs to see.
+                raise
         rowcount = 0
         if in_copy:
             while True:

@@ -1,0 +1,129 @@
+"""AQE skew-join demonstration: `spark.sql.adaptive.skewJoin` is the
+runtime complement of the engine's compile-time salting
+(`operators/skew.py`) — when a shuffle partition of a sort-merge join
+blows past the skew threshold, AQE splits it into sub-partitions at
+runtime (`OptimizeSkewedJoin`, shown as `AQEShuffleRead ... skewed`).
+This was the last major AQE feature the suite exercised nowhere
+(VERDICT r12 task 7); the test proves it fires in this engine's
+session configuration and that the split join is value-correct.
+
+The thresholds are lowered to fixture scale (the defaults are
+256 MB/partition — 100 TB numbers); what is asserted is the MECHANISM
+(detection + split + correct merge), which is scale-free. PLANS.md
+records the probe numbers.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+HOT_ROWS = 200_000
+COLD_KEYS = 64
+ROWS_PER_COLD = 50
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    try:
+        for k, v in kv.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _skewed_sides(spark):
+    """Deterministic skew: one hot key carrying HOT_ROWS rows next to
+    COLD_KEYS uniform keys, joined to a dim too large to broadcast
+    under the test threshold."""
+    fact = spark.range(HOT_ROWS + COLD_KEYS * ROWS_PER_COLD).select(
+        F.when(F.col("id") < HOT_ROWS, F.lit(0))
+        .otherwise((F.col("id") % COLD_KEYS) + 1)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 3 % 997).alias("v"),
+    )
+    dim = spark.range(COLD_KEYS + 1).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("label-"), F.col("id")).alias("label"),
+    )
+    return fact, dim
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    fact, dim = _skewed_sides(spark)
+    with _conf(
+        spark,
+        **{
+            # force a shuffle join (the dim would broadcast otherwise)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            # fixture-scale skew thresholds: a partition is "skewed"
+            # past 5x median AND 64 KB, split toward 16 KB targets
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            # coalescing would re-merge the tiny cold partitions and
+            # can mask the skew reader in the plan string
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        joined = fact.join(dim, "k")
+        agg = joined.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        rows = {r["k"]: (r["n"], r["sv"]) for r in agg.collect()}
+        # the adaptive FINAL plan carries the skew-split reader
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in final, (
+            "OptimizeSkewedJoin did not fire — no skewed AQEShuffleRead "
+            f"in the final adaptive plan:\n{final[:2000]}"
+        )
+
+    # value correctness under the split: hot key intact, cold keys intact
+    assert rows[0][0] == HOT_ROWS
+    for k in range(1, COLD_KEYS + 1):
+        assert rows[k][0] == ROWS_PER_COLD, k
+    # exact integer sum over the hot key (no dedup/loss across splits)
+    expect_hot = sum(i * 3 % 997 for i in range(HOT_ROWS))
+    assert rows[0][1] == expect_hot
+
+
+def test_skew_split_matches_unsplit_result(spark):
+    """Differential: the AQE-split join returns the same aggregate as
+    the plain broadcast join of the same frames."""
+    fact, dim = _skewed_sides(spark)
+    plain = {
+        r["k"]: r["n"]
+        for r in fact.join(F.broadcast(dim), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        split = {
+            r["k"]: r["n"]
+            for r in fact.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    assert split == plain

@@ -34,6 +34,39 @@ def test_chunked_matches_plain_ewma(spark, sf_dir):
         )
 
 
+def test_chunk_size_invariance(spark, sf_dir):
+    """VERDICT r12 task 5: the affine chunk composition must hold at
+    chunk lengths other than the registered CHUNK=4 — L=2 (every
+    boundary hit), L=4 (registered), L=64 (most fixture entities fit
+    in one chunk, so the single-chunk fast path and the plain fold
+    coincide). Same tolerance as the plain-fold comparison: the
+    regrouping is exact algebra, the scalings are exact powers of
+    two, only addition order differs."""
+    import pytest
+
+    from etl_xlsx_potgres_spark.plans.ewma_chunked import chunked_ewma_plan
+
+    plain = {
+        (r["user_id"], r["event_type"]): r
+        for r in registry.QUERIES["ts_ewma_by_user_type"](spark, sf_dir)
+        .collect()
+    }
+    for chunk in (2, 4, 64):
+        got = {
+            (r["user_id"], r["event_type"]): r
+            for r in chunked_ewma_plan(spark, sf_dir, chunk).collect()
+        }
+        assert set(got) == set(plain), f"entity set mismatch at L={chunk}"
+        for key, p in plain.items():
+            c = got[key]
+            assert c["n_obs"] == p["n_obs"], (chunk, key)
+            assert c["first_value"] == p["first_value"], (chunk, key)
+            assert c["last_value"] == p["last_value"], (chunk, key)
+            assert math.isclose(
+                c["ewma"], p["ewma"], rel_tol=1e-12, abs_tol=1e-12
+            ), (chunk, key, c["ewma"], p["ewma"])
+
+
 def test_chunk_boundaries_exercised(spark, sf_dir):
     """The fixture must actually produce multi-chunk entities, or the
     composition path is vacuously tested."""

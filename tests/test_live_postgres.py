@@ -333,24 +333,35 @@ def test_live_full_reference_pipeline(spark, pg, pg_dsn):
     cliente_ids = surrogate_ids(
         outs["clientes"].select("cpf_cnpj"), ["cpf_cnpj"], "id"
     )
-    loads = [
+    from etl_xlsx_potgres_spark.sinks.jdbc import foreach_partition_copy
+
+    # dimension loads keep the keyed ON CONFLICT upsert path; the two
+    # append-shaped fact loads go through COPY FROM STDIN (the >=3x
+    # measured bulk path, VERDICT r12 task 6). contatos' reference
+    # semantics are insert-if-absent on the 3-column unique key
+    # (etl_process.py:175-180) — on a fresh table that is exactly a
+    # set-based dropDuplicates before the bulk load.
+    upserts = [
         ("refpipe.tbl_planos",
          outs["planos"].join(plano_ids, "descricao"), ["descricao"]),
         ("refpipe.tbl_clientes",
          outs["clientes"].join(cliente_ids, "cpf_cnpj"), ["cpf_cnpj"]),
-        ("refpipe.tbl_cliente_contratos", outs["contratos"], None),
-        # pipeline emits (tipo, tipo_id, contato); project to the sink
-        # schema. ON CONFLICT on the 3-column unique key is the
-        # set-based equivalent of the reference's SAVEPOINT-and-skip
-        # (etl_process.py:175-180)
+    ]
+    copies = [
+        ("refpipe.tbl_cliente_contratos", outs["contratos"]),
         ("refpipe.tbl_cliente_contatos",
          outs["contatos"].selectExpr(
-             "cliente_id", "tipo_id AS tipo_contato_id", "contato"),
-         ["cliente_id", "tipo_contato_id", "contato"]),
+             "cliente_id", "tipo_id AS tipo_contato_id", "contato"
+         ).dropDuplicates()),
     ]
-    for table, df, keys in loads:
+    for table, df, keys in upserts:
         foreach_partition_upsert(
             df.repartition(4), JdbcTarget(url=url, table=table), keys
+        )
+    for table, df in copies:
+        foreach_partition_copy(
+            df.repartition(4), JdbcTarget(url=url, table=table),
+            connect=pgwire.connect,
         )
 
     def one(sql):
@@ -397,7 +408,7 @@ def test_live_full_reference_pipeline(spark, pg, pg_dsn):
     assert db_counts == eng_counts
 
     # idempotent re-run of the two keyed loads leaves counts stable
-    for table, df, keys in loads[:2]:
+    for table, df, keys in upserts:
         foreach_partition_upsert(
             df, JdbcTarget(url=url, table=table), keys
         )
@@ -454,6 +465,32 @@ def test_copy_rows_correctness_and_errors(pg):
     pg.rollback()
     assert _fetch(pg, "SELECT count(*) FROM copy_probe") == [("4",)]
 
+    # CLIENT-side failure mid-stream (the rows iterator raises while
+    # the server is in copy-in state): CopyFail must be sent and the
+    # connection drained, so it stays usable afterwards (ADVICE r12)
+    def exploding_rows():
+        yield (99,)
+        raise RuntimeError("row source blew up")
+
+    with pytest.raises(RuntimeError, match="row source blew up"):
+        with pg.cursor() as cur:
+            cur.copy_rows("copy_probe", ["i"], exploding_rows())
+    pg.rollback()
+    assert _fetch(pg, "SELECT count(*) FROM copy_probe") == [("4",)]
+
+    # copy_rows clears a prior execute()'s result set on a reused
+    # cursor (ADVICE r12): fetchall() after a copy must not replay
+    # stale rows
+    cur = pg.cursor()
+    cur.execute("SELECT 42 AS answer")
+    assert cur.fetchall() == [("42",)]
+    cur.copy_rows("copy_probe", ["i"], [(5,)])
+    assert cur.fetchall() == []
+    assert cur.description is None
+    cur.close()
+    pg.commit()
+    assert _fetch(pg, "SELECT count(*) FROM copy_probe") == [("5",)]
+
 
 def test_copy_bulk_append_via_spark(spark, pg, pg_dsn):
     """foreach_partition_copy: the executor-side COPY path through a
@@ -493,10 +530,13 @@ def test_copy_bulk_append_via_spark(spark, pg, pg_dsn):
 
 
 def test_copy_beats_executemany_10k(pg):
-    """VERDICT r11 task 2: COPY >=5x faster than the one-Query-per-
-    batch executemany INSERT path on a 10k-row load. Measured at the
-    cursor layer so the comparison is wire path vs wire path, not
-    Spark job overhead."""
+    """VERDICT r11 task 2: COPY materially faster than the one-Query-
+    per-batch executemany INSERT path on a 10k-row load. Measured at
+    the cursor layer so the comparison is wire path vs wire path, not
+    Spark job overhead. Best-of-3 per path and a 3x gate (typical
+    observed ratio is ~8-15x) so transient host load — this repo's
+    bench notes record up to ~7x single-shot drift — can't flake a
+    correctness suite (ADVICE r12)."""
     import time
 
     from etl_xlsx_potgres_spark.sinks.jdbc import build_insert_sql
@@ -507,28 +547,35 @@ def test_copy_beats_executemany_10k(pg):
     rows = [(i, f"value-{i}", i * 0.25) for i in range(10_000)]
     sql = build_insert_sql("copy_speed", ["k", "v", "x"])
 
-    t0 = time.perf_counter()
-    with pg.cursor() as cur:
-        for lo in range(0, len(rows), 1_000):  # sink's batch_rows default
-            cur.executemany(sql, rows[lo:lo + 1_000])
-    pg.commit()
-    t_insert = time.perf_counter() - t0
-    assert _fetch(pg, "SELECT count(*) FROM copy_speed") == [("10000",)]
+    def timed(load) -> float:
+        best = float("inf")
+        for _ in range(3):
+            with pg.cursor() as cur:
+                cur.execute("TRUNCATE copy_speed")
+            pg.commit()
+            t0 = time.perf_counter()
+            load()
+            pg.commit()
+            best = min(best, time.perf_counter() - t0)
+            assert _fetch(
+                pg, "SELECT count(*) FROM copy_speed"
+            ) == [("10000",)]
+        return best
 
-    with pg.cursor() as cur:
-        cur.execute("TRUNCATE copy_speed")
-    pg.commit()
+    def via_executemany() -> None:
+        with pg.cursor() as cur:
+            for lo in range(0, len(rows), 1_000):  # sink batch_rows default
+                cur.executemany(sql, rows[lo:lo + 1_000])
 
-    t0 = time.perf_counter()
-    with pg.cursor() as cur:
-        n = cur.copy_rows("copy_speed", ["k", "v", "x"], rows)
-    pg.commit()
-    t_copy = time.perf_counter() - t0
-    assert n == 10_000
-    assert _fetch(pg, "SELECT count(*) FROM copy_speed") == [("10000",)]
-    assert t_copy * 5 <= t_insert, (
+    def via_copy() -> None:
+        with pg.cursor() as cur:
+            assert cur.copy_rows("copy_speed", ["k", "v", "x"], rows) == 10_000
+
+    t_insert = timed(via_executemany)
+    t_copy = timed(via_copy)
+    assert t_copy * 3 <= t_insert, (
         f"COPY {t_copy:.3f}s vs executemany {t_insert:.3f}s — "
-        f"expected >=5x speedup"
+        f"expected >=3x speedup (best of 3 each)"
     )
 
 
@@ -610,6 +657,15 @@ def test_scram_client_rfc7677_vector():
     c.verify_server_final("v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
     with pytest.raises(pgwire.InterfaceError, match="signature"):
         c.verify_server_final("v=" + "A" * 43 + "=")
+
+
+def test_scram_out_of_order_server_final_rejected():
+    """A server-final before client-final (misbehaving/malicious
+    server) must raise a clear InterfaceError, not an AttributeError
+    on the uninitialized SCRAM state (ADVICE r12)."""
+    c = pgwire._ScramClient("pencil", ["SCRAM-SHA-256"])
+    with pytest.raises(pgwire.InterfaceError, match="out-of-order"):
+        c.verify_server_final("v=AAAA")
 
 
 def test_scram_plus_not_selected():

@@ -70,6 +70,9 @@ NAMES = [
     # iterative top-1 selection feeding the next round's input: a
     # partition-dependent limit(1) would cascade through all rounds
     "text_bpe_merge_rounds",
+    # r13: DPP join — the pruned month set must not depend on how the
+    # dim/fact are partitioned; decimal revenue sums are exact
+    "dpp_partition_pruned_join",
 ]
 
 

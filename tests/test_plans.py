@@ -185,6 +185,10 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # (bigram LM smoothing denominator)
         "cells",                          # count-min grid (<= D*W = 192 cells
                                           # by construction, data-size-free)
+        "dim",                            # month dimension (dpp_pruning):
+                                          # one row per calendar month —
+                                          # grows with time span (~12/yr),
+                                          # not with data volume
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

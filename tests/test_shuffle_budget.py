@@ -106,6 +106,9 @@ BUDGETS = {
                                       # null-safe join auto-broadcasts
     "version_snapshot_diff": 1,       # v1/v2 reads are PartitionFilters
                                       # (verified in-plan); one diff agg
+    "dpp_partition_pruned_join": 1,   # one month agg; the join is a
+                                      # broadcast with a DPP subquery
+                                      # (asserted in tests/test_dpp.py)
 }
 
 
