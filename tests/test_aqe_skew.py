@@ -76,25 +76,32 @@ def test_aqe_splits_skewed_join_partition(spark):
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
         },
     ):
+        # the join output must be consumed WITHOUT a downstream
+        # key-distribution requirement: a groupBy(k) on top would make
+        # the skew split introduce an extra shuffle, and AQE then
+        # declines to apply it (forceOptimizeSkewedJoin is off) —
+        # measured: the first draft of this test asserted on an
+        # aggregated frame and the rule never fired
         joined = fact.join(dim, "k")
-        agg = joined.groupBy("k").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
-        )
-        rows = {r["k"]: (r["n"], r["sv"]) for r in agg.collect()}
+        collected = joined.collect()
         # the adaptive FINAL plan carries the skew-split reader
         final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
         assert "skewed" in final, (
             "OptimizeSkewedJoin did not fire — no skewed AQEShuffleRead "
             f"in the final adaptive plan:\n{final[:2000]}"
         )
 
-    # value correctness under the split: hot key intact, cold keys intact
-    assert rows[0][0] == HOT_ROWS
+    # value correctness under the split: hot key intact, cold keys
+    # intact, no loss or duplication across the sub-partitions
+    from collections import Counter
+
+    counts = Counter(r["k"] for r in collected)
+    assert counts[0] == HOT_ROWS
     for k in range(1, COLD_KEYS + 1):
-        assert rows[k][0] == ROWS_PER_COLD, k
-    # exact integer sum over the hot key (no dedup/loss across splits)
+        assert counts[k] == ROWS_PER_COLD, k
     expect_hot = sum(i * 3 % 997 for i in range(HOT_ROWS))
-    assert rows[0][1] == expect_hot
+    assert sum(r["v"] for r in collected if r["k"] == 0) == expect_hot
 
 
 def test_skew_split_matches_unsplit_result(spark):
