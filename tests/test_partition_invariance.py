@@ -73,6 +73,9 @@ NAMES = [
     # r13: DPP join — the pruned month set must not depend on how the
     # dim/fact are partitioned; decimal revenue sums are exact
     "dpp_partition_pruned_join",
+    # r13: SemDeDup — argmin assignment + cosine-threshold pairs must
+    # be width-independent (deterministic tie-break, exact counts)
+    "dedup_semantic_clusters",
 ]
 
 

@@ -109,6 +109,11 @@ BUDGETS = {
     "dpp_partition_pruned_join": 1,   # one month agg; the join is a
                                       # broadcast with a DPP subquery
                                       # (asserted in tests/test_dpp.py)
+    "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
+                                      # repartition materialized once
+                                      # (persisted) + self-join side
+                                      # realignments; assignment
+                                      # computed ONCE, not 3x
 }
 
 
