@@ -82,3 +82,56 @@ def test_chunk_boundaries_exercised(spark, sf_dir):
     )
     multi = sizes.filter(F.col("count") > CHUNK).count()
     assert multi > 0, f"no entity exceeds CHUNK={CHUNK}; raise fixture density"
+
+
+def test_chunk_composition_algebra_random_inputs():
+    """Property (hypothesis): the chunked closed-form combine
+    ewma = sum_i contrib_i * (1-a)^(n - cumlen_i) equals the plain
+    sequential fold for ARBITRARY finite inputs and chunk lengths —
+    the fixture tests pin the Spark plan; this pins the algebra
+    itself. With a = 1/2 every decay scaling is exact, so the only
+    divergence channel is addition order (bounded by 1e-12 rel)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_xlsx_potgres_spark.plans.ewma_chunked import ALPHA
+
+    vals = st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(xs=vals, chunk=st.integers(min_value=1, max_value=64))
+    def check(xs, chunk):
+        # plain fold, seeded with the head (the plan's initialization)
+        plain = xs[0]
+        for x in xs[1:]:
+            plain = ALPHA * x + (1 - ALPHA) * plain
+        # chunked: per-chunk affine contribs, closed-form combine
+        n = len(xs)
+        contribs = []
+        cum = 0
+        for lo in range(0, n, chunk):
+            seg = xs[lo:lo + chunk]
+            if lo == 0:
+                acc = seg[0]
+                rest = seg[1:]
+            else:
+                acc = 0.0
+                rest = seg
+            for x in rest:
+                acc = ALPHA * x + (1 - ALPHA) * acc
+            cum += len(seg)
+            contribs.append((acc, cum))
+        ewma = 0.0
+        for contrib, cumlen in contribs:
+            ewma += contrib * (1 - ALPHA) ** (n - cumlen)
+        assert math.isclose(ewma, plain, rel_tol=1e-12, abs_tol=1e-9), (
+            chunk, n, ewma, plain
+        )
+
+    check()
