@@ -208,6 +208,44 @@ def foreach_partition_upsert(
     df.foreachPartition(write_partition)
 
 
+class _ChunkReader:
+    """Minimal read-only file adapter over an iterator of byte
+    chunks, for psycopg2/psycopg3 ``copy_expert`` (which pulls with
+    ``read(size)``). Streams: peak memory is one chunk + one read
+    buffer, never the whole partition — a partition at 100 TB scale
+    can be hundreds of MB of COPY text."""
+
+    def __init__(self, chunks) -> None:
+        self._it = iter(chunks)
+        self._buf = b""
+
+    def read(self, size: int = -1) -> bytes:
+        if size is None or size < 0:
+            out = self._buf + b"".join(self._it)
+            self._buf = b""
+            return out
+        while len(self._buf) < size:
+            try:
+                self._buf += next(self._it)
+            except StopIteration:
+                break
+        out, self._buf = self._buf[:size], self._buf[size:]
+        return out
+
+    def readline(self, size: int = -1) -> bytes:  # psycopg2 fallback path
+        while b"\n" not in self._buf:
+            try:
+                self._buf += next(self._it)
+            except StopIteration:
+                break
+        nl = self._buf.find(b"\n")
+        end = len(self._buf) if nl < 0 else nl + 1
+        if size is not None and 0 <= size < end:
+            end = size
+        out, self._buf = self._buf[:end], self._buf[end:]
+        return out
+
+
 def foreach_partition_copy(
     df: DataFrame,
     target: JdbcTarget,
@@ -244,16 +282,13 @@ def foreach_partition_copy(
                 if hasattr(cur, "copy_rows"):  # bundled pgwire driver
                     cur.copy_rows(quoted_table, quoted_cols, row_iter)
                 elif hasattr(cur, "copy_expert"):  # psycopg2/psycopg3
-                    import io
-
                     sql = (
                         f"COPY {quoted_table} "
                         f"({', '.join(quoted_cols)}) FROM STDIN"
                     )
-                    payload = io.BytesIO(
-                        b"".join(pgwire._copy_encode(row_iter))
+                    cur.copy_expert(
+                        sql, _ChunkReader(pgwire._copy_encode(row_iter))
                     )
-                    cur.copy_expert(sql, payload)
                 else:
                     raise TypeError(
                         "foreach_partition_copy needs a cursor with "
