@@ -1,0 +1,262 @@
+"""Distributed xlsx ingestion — a Spark 4 Python Data Source.
+
+``sources/excel.py`` reads ONE workbook driver-side (the reference's
+shape: ``/root/reference/importador.py:47`` loads one sheet into a
+pandas frame). That is correct for one file and wrong for a landing
+directory of thousands: the driver becomes the single reader. This
+module registers an ``xlsx`` data source with Spark's Python Data
+Source API (public, pyspark.sql.datasource, Spark 4.x) so a *glob* of
+workbooks scans as a normal DataFrame source:
+
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").option("sheet", "Plan1").load(dir)
+
+Execution model:
+
+- ``partitions()`` (driver): expand the glob, emit one
+  ``InputPartition`` per (file, sheet) — each workbook parses on an
+  executor, so a 10k-file intake is a 10k-task scan, not a driver
+  loop. An xlsx is a zip container (not splittable), so file
+  granularity is the natural partition grain.
+- ``read(partition)`` (executor): parse with the pure-stdlib OOXML
+  reader (``xlsx_stdlib`` — no openpyxl needed on executors) and
+  yield **Arrow RecordBatches**, the vectorized path across the
+  Python/JVM boundary.
+- Schema: pass one explicitly (``.schema(...)``) or let ``schema()``
+  infer from the FIRST matched file (cells are already typed by the
+  OOXML parser: str/int/float/bool/datetime). Per-file header
+  drift is tolerated: columns are matched by name, missing columns
+  fill with NULL, extra columns are ignored.
+
+Scale posture: this removes the driver bottleneck for *many medium
+files*; a single 100 GB workbook is still one task by format physics,
+and the at-scale answer remains ``excel.convert_to_parquet`` at the
+edge. Filter/column pushdown is intentionally not implemented — a
+sheet must be fully parsed to see any cell, so pushdown could prune
+nothing; Catalyst prunes/filters the decoded batches instead.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from . import xlsx_stdlib
+
+_DEFAULT_BATCH_ROWS = 8192
+_INFER_ROWS = 500
+
+
+def _expand_paths(path_opt: str) -> list[str]:
+    """Comma-separated paths; each may be a dir (-> *.xlsx inside) or
+    a glob. Deterministic (sorted) order."""
+    out: list[str] = []
+    for raw in path_opt.split(","):
+        p = raw.strip()
+        if not p:
+            continue
+        if os.path.isdir(p):
+            out.extend(sorted(glob.glob(os.path.join(p, "*.xlsx"))))
+        elif glob.has_magic(p):
+            out.extend(sorted(glob.glob(p)))
+        elif os.path.exists(p):
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no xlsx files match {path_opt!r}")
+    return out
+
+
+def _infer_field(name: str, values: list) -> T.StructField:
+    """Spark type from the OOXML parser's python cell types. bool is
+    checked before int (bool subclasses int); int|float mixes widen to
+    double; any string (or an untypeable mix) degrades to string."""
+    seen = {type(v) for v in values if v is not None}
+    if not seen:
+        dtype: T.DataType = T.StringType()
+    elif seen == {bool}:
+        dtype = T.BooleanType()
+    elif seen <= {bool, int}:
+        dtype = T.LongType()
+    elif seen <= {bool, int, float}:
+        dtype = T.DoubleType()
+    elif seen == {dt.datetime}:
+        dtype = T.TimestampType()
+    else:
+        dtype = T.StringType()
+    return T.StructField(name, dtype, nullable=True)
+
+
+def _coerce(value, dtype: T.DataType, col: str):
+    """One parsed cell -> declared Spark type. Strict where lossy
+    (a non-integral float under an integer column is an error, not a
+    truncation); stringly where safe."""
+    if value is None:
+        return None
+    if isinstance(dtype, T.BooleanType):
+        if isinstance(value, bool):
+            return value
+        raise ValueError(f"column {col!r}: {value!r} is not a boolean")
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, int):
+            return value
+        if isinstance(value, float) and value.is_integer():
+            return int(value)
+        raise ValueError(f"column {col!r}: {value!r} is not an integer")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        if isinstance(value, bool):
+            raise ValueError(f"column {col!r}: {value!r} is not numeric")
+        if isinstance(value, (int, float)):
+            return float(value)
+        raise ValueError(f"column {col!r}: {value!r} is not numeric")
+    if isinstance(dtype, T.TimestampType):
+        if isinstance(value, dt.datetime):
+            return value
+        if isinstance(value, dt.date):
+            return dt.datetime(value.year, value.month, value.day)
+        raise ValueError(f"column {col!r}: {value!r} is not a timestamp")
+    if isinstance(dtype, T.DateType):
+        if isinstance(value, dt.datetime):
+            return value.date()
+        if isinstance(value, dt.date):
+            return value
+        raise ValueError(f"column {col!r}: {value!r} is not a date")
+    if isinstance(dtype, T.StringType):
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        return str(value)
+    raise TypeError(f"column {col!r}: unsupported xlsx source type {dtype}")
+
+
+def _pa_type(dtype: T.DataType):
+    import pyarrow as pa
+
+    if isinstance(dtype, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dtype, T.LongType):
+        return pa.int64()
+    if isinstance(dtype, T.IntegerType):
+        return pa.int32()
+    if isinstance(dtype, T.ShortType):
+        return pa.int16()
+    if isinstance(dtype, T.ByteType):
+        return pa.int8()
+    if isinstance(dtype, T.DoubleType):
+        return pa.float64()
+    if isinstance(dtype, T.FloatType):
+        return pa.float32()
+    if isinstance(dtype, T.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dtype, T.DateType):
+        return pa.date32()
+    if isinstance(dtype, T.StringType):
+        return pa.string()
+    raise TypeError(f"unsupported xlsx source type {dtype}")
+
+
+class _XlsxReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options.get("path") or options.get("paths")
+        if not self._path:
+            raise ValueError("xlsx source requires a path: .load(<dir|glob>)")
+        self._sheet = options.get("sheet", "0")
+        self._batch_rows = int(options.get("batchrows", _DEFAULT_BATCH_ROWS))
+
+    def partitions(self) -> list[InputPartition]:
+        files = _expand_paths(self._path)
+        if self._sheet == "*":
+            return [
+                InputPartition((f, s))
+                for f in files
+                for s in xlsx_stdlib.sheet_names(f)
+            ]
+        sheet: str | int = (
+            int(self._sheet) if self._sheet.lstrip("-").isdigit() else self._sheet
+        )
+        return [InputPartition((f, sheet)) for f in files]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        import pyarrow as pa
+
+        path, sheet = partition.value
+        headers, rows = xlsx_stdlib.read_rows(path, sheet)
+        idx_by_name = {}
+        for i, h in enumerate(headers):
+            idx_by_name.setdefault(h, i)  # first occurrence wins
+        columns = []
+        for field in self._schema.fields:
+            idx = idx_by_name.get(field.name)
+            if idx is None:
+                columns.append([None] * len(rows))
+            else:
+                columns.append(
+                    [_coerce(r[idx], field.dataType, field.name) for r in rows]
+                )
+        arrow_schema = pa.schema(
+            [(f.name, _pa_type(f.dataType)) for f in self._schema.fields]
+        )
+        for start in range(0, len(rows), self._batch_rows):
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        col[start : start + self._batch_rows],
+                        type=arrow_schema.field(i).type,
+                    )
+                    for i, col in enumerate(columns)
+                ],
+                schema=arrow_schema,
+            )
+
+
+class XlsxDataSource(DataSource):
+    """``spark.read.format("xlsx")`` — distributed workbook scan.
+
+    Options: ``sheet`` (index, name, or ``*`` for every sheet;
+    default 0), ``batchRows`` (Arrow batch size, default 8192).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "xlsx"
+
+    def schema(self) -> T.StructType:
+        path = self.options.get("path") or self.options.get("paths")
+        if not path:
+            raise ValueError("xlsx source requires a path: .load(<dir|glob>)")
+        first = _expand_paths(path)[0]
+        sheet_opt = self.options.get("sheet", "0")
+        sheet: str | int
+        if sheet_opt == "*":
+            sheet = 0
+        elif sheet_opt.lstrip("-").isdigit():
+            sheet = int(sheet_opt)
+        else:
+            sheet = sheet_opt
+        headers, rows = xlsx_stdlib.read_rows(first, sheet)
+        if not headers:
+            raise ValueError(
+                f"cannot infer schema: {first!r} sheet {sheet!r} is empty"
+            )
+        sample = rows[:_INFER_ROWS]
+        return T.StructType(
+            [
+                _infer_field(h, [r[i] for r in sample])
+                for i, h in enumerate(headers)
+            ]
+        )
+
+    def reader(self, schema: T.StructType) -> _XlsxReader:
+        return _XlsxReader(schema, self.options)
+
+
+def register_xlsx_source(spark: SparkSession) -> None:
+    """Idempotent session-level registration of the ``xlsx`` format."""
+    spark.dataSource.register(XlsxDataSource)

@@ -185,6 +185,10 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # (bigram LM smoothing denominator)
         "cells",                          # count-min grid (<= D*W = 192 cells
                                           # by construction, data-size-free)
+        "lp",                             # DSIR bucket model (<= B = 256
+                                          # rows by the bucket modulus —
+                                          # constant at any corpus size)
+        "tot",                            # 1-row DSIR corpus totals
         "dim",                            # month dimension (dpp_pruning):
                                           # one row per calendar month —
                                           # grows with time span (~12/yr),

@@ -109,6 +109,15 @@ BUDGETS = {
     "dpp_partition_pruned_join": 1,   # one month agg; the join is a
                                       # broadcast with a DPP subquery
                                       # (asserted in tests/test_dpp.py)
+    "xlsx_datasource_ingest": 1,      # one 4-key partial agg over the
+                                      # per-file Python-data-source scan
+    "dsir_importance_weights": 5,     # (doc,bucket) featurize agg + raw/
+                                      # target/total model aggs over the one
+                                      # persisted count frame (<=B keys) +
+                                      # final doc rollup; bucket model joins
+                                      # back by broadcast
+    "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
+                                      # extra exchange
     "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
                                       # repartition materialized once
                                       # (persisted) + self-join side
