@@ -76,6 +76,10 @@ NAMES = [
     # r13: SemDeDup — argmin assignment + cosine-threshold pairs must
     # be width-independent (deterministic tie-break, exact counts)
     "dedup_semantic_clusters",
+    # r13: sequence packing — the bucketed prefix sum must equal the
+    # global cumsum at every shuffle width (integer-exact, but the
+    # bucket-offset composition is the partition-sensitive mechanics)
+    "pack_sequences_stats",
 ]
 
 

@@ -118,6 +118,11 @@ BUDGETS = {
                                       # back by broadcast
     "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
+    "pack_sequences_stats": 7,        # ONE corpus bucket shuffle (the
+                                      # offsets branch's twin exchange is
+                                      # runtime-reused, ReusedExchange
+                                      # verified) + final seq_id agg; the
+                                      # rest are <=256-row bucket frames
     "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
                                       # repartition materialized once
                                       # (persisted) + self-join side
