@@ -118,6 +118,10 @@ BUDGETS = {
                                       # back by broadcast
     "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
+    "agg_hll_distinct_mergeable": 4,  # exact-verifier 2-phase distinct
+                                      # (2) + sketch partials at the finer
+                                      # grain + 3-group union merge (both
+                                      # post-partial-agg, sketch-sized)
     "pack_sequences_stats": 7,        # ONE corpus bucket shuffle (the
                                       # offsets branch's twin exchange is
                                       # runtime-reused, ReusedExchange
