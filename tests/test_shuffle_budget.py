@@ -118,6 +118,8 @@ BUDGETS = {
                                       # back by broadcast
     "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
+    "export_training_shards": 2,      # repartition(shard) for the write
+                                      # + the read-back per-shard agg
     "agg_hll_distinct_mergeable": 4,  # exact-verifier 2-phase distinct
                                       # (2) + sketch partials at the finer
                                       # grain + 3-group union merge (both
