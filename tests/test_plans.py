@@ -189,6 +189,9 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # rows by the bucket modulus —
                                           # constant at any corpus size)
         "tot",                            # 1-row DSIR corpus totals
+        "merged",                         # HLL per-group sketch estimates
+                                          # (one row per enum-bounded group —
+                                          # 3 return flags at any data size)
         "prior", "offsets",               # sequence-packing bucket frames
                                           # (<= 256 rows: one per 2-hex-char
                                           # md5 prefix, data-size-free)
