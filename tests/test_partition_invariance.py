@@ -80,6 +80,10 @@ NAMES = [
     # global cumsum at every shuffle width (integer-exact, but the
     # bucket-offset composition is the partition-sensitive mechanics)
     "pack_sequences_stats",
+    # r13: triangle counting — collect_list neighbor arrays are
+    # partition-order-dependent; the claim is that intersection SIZES
+    # summed are not
+    "graph_triangle_count",
 ]
 
 

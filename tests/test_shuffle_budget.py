@@ -118,6 +118,11 @@ BUDGETS = {
                                       # back by broadcast
     "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
+    "graph_triangle_count": 10,       # basket agg + edge distinct + degree
+                                      # agg + orientation joins + neighbor
+                                      # collect + 2 close joins (vertex-
+                                      # keyed; arrays bounded by the
+                                      # orientation's sqrt(m) out-degree)
     "export_training_shards": 2,      # repartition(shard) for the write
                                       # + the read-back per-shard agg
     "agg_hll_distinct_mergeable": 4,  # exact-verifier 2-phase distinct
