@@ -1,0 +1,156 @@
+"""Stream-stream LEFT OUTER interval join under driver attestation —
+the semantics the inner join (``streaming_interval_join``) cannot
+show: a purchase with NO same-user click in the preceding hour must
+still be emitted, with nulls, and it can only be emitted once the
+WATERMARK has passed its join window (before that, a matching click
+could still arrive — the null row would be premature and wrong).
+
+That closure rule is the part bounded replays silently get wrong: on
+a finite input the watermark is computed from data already seen, so
+rows near the END of the stream never have their windows closed and
+an availableNow replay terminates with their unmatched-row output
+still buffered in the state store — the outer join UNDERCOUNTS
+against the batch oracle. The honest fix is the one a production
+pipeline uses for stream drain/backfill: advance the watermark past
+the data with sentinel events. Here each side's landing directory
+holds its data file plus two far-future sentinel files (reserved
+user_id -1, excluded from output and oracle), replayed one file per
+micro-batch (``maxFilesPerTrigger=1``, mtime-ordered):
+
+  batch 1: all real rows join; no state closes (watermark still low)
+  batch 2: sentinels raise max event time; the new watermark is
+           committed at batch end
+  batch 3: eviction runs under the raised watermark — every real
+           purchase's window is now closed, unmatched rows flush
+
+State stays O(watermark window) throughout — both sides carry a
+watermark and the join condition bounds event time on both ends,
+the same GC contract as the inner join.
+
+The DuckDB oracle is the plain batch LEFT JOIN with the type filter
+and time band in the ON clause; a premature null, a dropped
+unmatched purchase, or a duplicate emit all flip the diff.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_SENTINEL_TS = ("2024-06-01 00:00:00", "2024-06-02 00:00:00")
+
+
+def _stage_side(spark: SparkSession, df: DataFrame, base: str) -> None:
+    """Write one stream side's landing dir: the data file then two
+    sentinel files, mtime-ordered so the file source replays them as
+    three successive micro-batches."""
+    os.makedirs(base)
+    stage = base + "_stage"
+    pieces = [df.coalesce(1)]
+    for ts in _SENTINEL_TS:
+        pieces.append(
+            df.limit(0).unionByName(
+                df.limit(1).select(
+                    F.lit(-1).cast("long").alias("event_id"),
+                    F.to_timestamp(F.lit(ts)).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.col("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+            )
+        )
+    t0 = 1_700_000_000
+    for i, piece in enumerate(pieces):
+        piece.write.mode("overwrite").parquet(stage)
+        parts = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        assert len(parts) == 1
+        dst = os.path.join(base, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(stage, parts[0]), dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "streaming_outer_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p LEFT JOIN events c
+      ON c.event_type = 'click' AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # idempotent staging per SF (the dpp_pruning provision pattern):
+    # the landing layout is a pure function of the events table, so
+    # repeated runs (bench passes, sweeps) skip the 8 write jobs
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_ojoin_{sf}")
+    done = os.path.join(work, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        for etype, sub in (("purchase", "p"), ("click", "c")):
+            _stage_side(
+                spark,
+                ev.filter(F.col("event_type") == etype),
+                os.path.join(work, sub),
+            )
+        open(done, "w").close()
+
+    schema = ev.schema
+
+    def side(sub: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, sub))
+            .withWatermark("ts", "2 hours")
+        )
+
+    p, c = side("p").alias("p"), side("c").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "leftOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+    )
+
+    name = "stream_outer_ivjoin_sink"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    # AQE cannot coalesce stateful-streaming shuffles, and the join
+    # instantiates its 4 state stores per shuffle partition per
+    # micro-batch — pin a sane width for the run (the
+    # run_streaming_query posture) and restore afterwards
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).filter(F.col("user_id") >= 0)
