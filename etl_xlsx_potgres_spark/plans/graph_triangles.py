@@ -109,9 +109,17 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_summary(copurchase_edges(spark, sf_dir))
+
+
+def triangle_summary(raw_edges: DataFrame) -> DataFrame:
+    """(u, v) distinct undirected edges with u < v -> one summary row
+    (n_vertices, n_edges, max_degree, n_triangles). Split from the
+    registered query so the property test can feed seeded random
+    graphs and diff against brute force."""
     from ..caching import scoped_persist
 
-    edges = scoped_persist(copurchase_edges(spark, sf_dir))
+    edges = scoped_persist(raw_edges)
     # undirected degrees; the orientation key is (degree, id)
     deg = (
         edges.select(F.col("u").alias("w"))
@@ -146,7 +154,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
         )
         .agg(
-            F.sum(F.size(F.array_intersect("nb", "nb_v")))
+            # coalesce: a triangle-free graph (e.g. a star) leaves the
+            # inner joins empty and SUM over zero rows is NULL, not 0
+            # — found by the property test, invisible on the oracle
+            # fixture (which always has triangles)
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("nb", "nb_v"))), F.lit(0)
+            )
             .cast("long")
             .alias("n_triangles")
         )
