@@ -69,15 +69,21 @@ _DUCK_TOK = (
 def packed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document packed positions: (doc_id, tok, start_pos) in the
     deterministic md5 shuffle order, via the bucketed prefix sum."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            token_count("text").cast("long").alias("tok"),
-            F.md5(F.col("doc_id").cast("string")).alias("sortkey"),
+    return packed_layout_from(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", token_count("text").cast("long").alias("tok")
         )
-        .withColumn("bucket", F.substring("sortkey", 1, 2))
     )
+
+
+def packed_layout_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) -> (doc_id, tok, start_pos). Split from the
+    table-reading wrapper so the property test can feed synthetic
+    token counts (empty docs, docs spanning many sequences)."""
+    spark = docs.sparkSession
+    d = docs.withColumn(
+        "sortkey", F.md5(F.col("doc_id").cast("string"))
+    ).withColumn("bucket", F.substring("sortkey", 1, 2))
     # (2) in-bucket inclusive running sum — bounded window partitions
     w = (
         Window.partitionBy("bucket")
