@@ -211,6 +211,11 @@ def _verified_green() -> set[str]:
     source hash and fixture fingerprint. A stale or missing stamp means
     the code or data changed since verification — back to the
     verify-first queue."""
+    # callable standalone in a fresh interpreter: _green_rounds reads
+    # registry.ORACLES and _source_hash reads registry.QUERIES, both
+    # empty until the plans modules are imported (load_all is
+    # idempotent, so callers that already loaded pay nothing)
+    registry.load_all()
     green = set(_green_rounds())
     if not green:
         return green

@@ -196,7 +196,13 @@ def main() -> None:
         # stay near (not far above) the worker count
         "loadavg_1m": loadavg_1m,
         "host_cpus": cpus,
-        "load_flag": max(loadavg_1m) > cpus,
+        # Two-part flag (tightened r14 after the r13 kept run started
+        # at loadavg 12.8 yet passed the old max>cpus check): the
+        # START sample must show a quiet host (< 0.15x cpus — external
+        # load, since the bench hasn't run yet), and no in-run sample
+        # may exceed the worker count (the bench's own load tops out
+        # there; anything above is contention).
+        "load_flag": loadavg_1m[0] > 0.15 * cpus or max(loadavg_1m) > cpus,
     }
 
     # Full per-query detail always lands next to this script; the

@@ -1,0 +1,156 @@
+"""Incremental (cross-run) dedup — the production shape the batch
+dedup queries don't cover: each new ingest batch must be checked
+against the ENTIRE corpus already accepted, without re-shuffling
+history.
+
+Design (the bucketed-signature-store pattern):
+
+1. History's MinHash LSH band keys (``plans/dedup_fuzzy.py``: 4
+   bands x 2 rows over the 8-hash signature, fused here into one
+   single-column key ``band = md5(band_id || ':' || band_key)``)
+   are written ONCE as a parquet table ``bucketBy(N, band)`` +
+   ``sortBy(band)`` — the shuffle on history is paid at write time
+   and amortized over every future batch (the
+   ``plans/bucketed_join.py`` layout-as-operator move applied to
+   dedup state).
+2. A new batch computes its own band keys (map-only after one
+   signature shuffle) and probes the store: Spark shuffles ONLY the
+   batch side into the store's bucketing; the history scan has no
+   Exchange (asserted in ``tests/test_dedup_incremental.py``). At
+   100 TB of history and a 0.1% daily batch this is the difference
+   between re-shuffling 100 TB per run and shuffling ~100 GB.
+3. Emit per new-batch document the number of distinct historical
+   near-dup candidates and the keep/drop verdict; accepted docs'
+   signatures would then be APPENDED to the store (parquet bucketed
+   tables append per-bucket files without rewriting history).
+
+Fixture split: history = ``doc_id % 10 != 0``, new batch =
+``doc_id % 10 = 0`` — a deterministic 90/10 split both engines
+reproduce. Documents too short to sign (< 3 tokens, NULL signature)
+cannot collide and are kept, matching the oracle's left join.
+
+The DuckDB oracle recomputes the same bands on both sides and
+counts distinct history matches per new doc — any bucket-routing
+bug (a band key hashed to the wrong bucket drops its collisions)
+flips the counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from ..operators.text import sql_minhash_exprs
+from .dedup_fuzzy import _minhash_sig_df
+
+N_BUCKETS = 8
+_WH = "/tmp/spark_graft_dedup_store"
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band): 4 LSH bands fused to one join key per row."""
+    band_structs = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{i}:"),
+                    F.md5(F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))),
+                )
+            )
+            for i in range(4)
+        ]
+    )
+    return sig.filter(F.col("mh0").isNotNull()).select(
+        "doc_id", F.explode(band_structs).alias("band")
+    )
+
+
+def _duck_bands(where: str) -> str:
+    """DuckDB twin of :func:`_bands` over ``documents`` rows matching
+    ``where`` (band_id fused into the key exactly as Spark does)."""
+    mh = ", ".join(sql_minhash_exprs("text"))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, md5('{i}:' || md5(mh{2 * i} || mh{2 * i + 1})) AS band"
+        f" FROM sig_{where_tag(where)}"
+        for i in range(4)
+    )
+    return (
+        f"sig_{where_tag(where)} AS ("
+        f"SELECT doc_id, {mh} FROM documents WHERE ({where})"
+        f" AND len(list_filter(string_split_regex(trim(lower(text)),"
+        f" '\\s+'), x -> x <> '')) >= 3), "
+        f"bands_{where_tag(where)} AS ({bands})"
+    )
+
+
+def where_tag(where: str) -> str:
+    return "hist" if "!=" in where or "<>" in where else "new"
+
+
+_ORACLE = f"""
+    WITH {_duck_bands("doc_id % 10 <> 0")},
+    {_duck_bands("doc_id % 10 = 0")},
+    hits AS (
+      SELECT n.doc_id, COUNT(DISTINCT h.doc_id) AS n_hist_candidates
+      FROM bands_new n JOIN bands_hist h ON h.band = n.band
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(hits.n_hist_candidates, 0) AS n_hist_candidates,
+           COALESCE(hits.n_hist_candidates, 0) = 0 AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN hits ON hits.doc_id = d.doc_id
+"""
+
+
+def _provision_store(spark: SparkSession, sf_dir: str) -> str:
+    """History band store as a bucketed+sorted external table
+    (idempotent per SF; catalog entry re-registered per session)."""
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    name = f"dedup_band_store_{sf.replace('.', '_').replace('-', '_')}"
+    path = os.path.join(_WH, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    (
+        _bands(_minhash_sig_df(d))
+        .write.mode("overwrite")
+        .bucketBy(N_BUCKETS, "band")
+        .sortBy("band")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
+@register("dedup_incremental_newbatch", oracle=_ORACLE)
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _provision_store(spark, sf_dir)
+    hist = spark.table(store)
+    newd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_bands = _bands(_minhash_sig_df(newd))
+    hits = (
+        new_bands.join(
+            hist.select(F.col("doc_id").alias("hist_doc_id"), "band"), "band"
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("hist_doc_id").alias("n_hist_candidates"))
+    )
+    n = F.coalesce(F.col("n_hist_candidates"), F.lit(0))
+    return (
+        newd.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_hist_candidates"),
+            (n == 0).alias("keep"),
+        )
+    )

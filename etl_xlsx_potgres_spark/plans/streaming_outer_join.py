@@ -34,6 +34,7 @@ unmatched purchase, or a duplicate emit all flip the diff.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
@@ -51,6 +52,14 @@ def _stage_side(spark: SparkSession, df: DataFrame, base: str) -> None:
     """Write one stream side's landing dir: the data file then two
     sentinel files, mtime-ordered so the file source replays them as
     three successive micro-batches."""
+    if df.isEmpty():
+        # the sentinel rows are cloned from df.limit(1) — an empty
+        # side would stage zero sentinels and the outer join would
+        # silently degrade to inner-join output (never-closing state)
+        raise ValueError(
+            f"streaming outer join: side for {base!r} is empty — "
+            "cannot stage watermark-drain sentinels"
+        )
     os.makedirs(base)
     stage = base + "_stage"
     pieces = [df.coalesce(1)]
@@ -78,26 +87,43 @@ def _stage_side(spark: SparkSession, df: DataFrame, base: str) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
-@register(
-    "streaming_outer_interval_join",
-    oracle="""
-    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
-    FROM events p LEFT JOIN events c
-      ON c.event_type = 'click' AND p.user_id = c.user_id
-     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
-    WHERE p.event_type = 'purchase'
-    """,
-)
-def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the events fixture (file names, sizes,
+    mtimes): the staged landing dirs are a pure function of the
+    events table, so the stage cache must die with it — a marker
+    keyed only on the SF dir basename would keep serving stale
+    staged files after the fixture is regenerated and the query
+    would diverge from the oracle (loudly in the sweep, but
+    confusingly)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    files = (
+        sorted(os.listdir(path)) if os.path.isdir(path)
+        else [os.path.basename(path)] if os.path.exists(path)
+        else []
+    )
+    root = path if os.path.isdir(path) else os.path.dirname(path)
+    for f in files:
+        st = os.stat(os.path.join(root, f))
+        parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _ensure_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent staging per (SF, events fingerprint): repeated runs
+    (bench passes, sweeps) skip the 8 write jobs; a regenerated
+    fixture re-stages because the fingerprint in the marker no
+    longer matches."""
     ev = load_table(spark, sf_dir, "events")
-    # idempotent staging per SF (the dpp_pruning provision pattern):
-    # the landing layout is a pure function of the events table, so
-    # repeated runs (bench passes, sweeps) skip the 8 write jobs
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     work = os.path.join(tempfile.gettempdir(), f"spark_graft_ojoin_{sf}")
     done = os.path.join(work, "_STAGED")
-    if not os.path.exists(done):
+    fp = _events_fingerprint(sf_dir)
+    stamped = None
+    if os.path.exists(done):
+        with open(done) as fh:
+            stamped = fh.read().strip()
+    if stamped != fp:
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
         for etype, sub in (("purchase", "p"), ("click", "c")):
@@ -106,9 +132,16 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
                 ev.filter(F.col("event_type") == etype),
                 os.path.join(work, sub),
             )
-        open(done, "w").close()
+        with open(done, "w") as fh:
+            fh.write(fp)
+    return work
 
-    schema = ev.schema
+
+def _staged_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    work = _ensure_staged(spark, sf_dir)
+    schema = load_table(spark, sf_dir, "events").schema
 
     def side(sub: str) -> DataFrame:
         return (
@@ -118,21 +151,10 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
             .withWatermark("ts", "2 hours")
         )
 
-    p, c = side("p").alias("p"), side("c").alias("c")
-    cond = (
-        (F.col("p.user_id") == F.col("c.user_id"))
-        & (F.col("c.ts") <= F.col("p.ts"))
-        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
-    )
-    joined = p.join(c, cond, "leftOuter").select(
-        F.col("p.event_id").alias("purchase_id"),
-        F.col("p.user_id").alias("user_id"),
-        F.col("p.ts").alias("purchase_ts"),
-        F.col("c.event_id").alias("click_id"),
-        F.col("c.ts").alias("click_ts"),
-    )
+    return side("p").alias("p"), side("c").alias("c")
 
-    name = "stream_outer_ivjoin_sink"
+
+def _run_to_table(spark: SparkSession, joined: DataFrame, name: str) -> None:
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
@@ -153,4 +175,78 @@ def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "streaming_outer_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p LEFT JOIN events c
+      ON c.event_type = 'click' AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, c = _staged_sides(spark, sf_dir)
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "leftOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+    )
+
+    name = "stream_outer_ivjoin_sink"
+    _run_to_table(spark, joined, name)
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_full_outer_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def streaming_full_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL outer completes the family: right-unmatched rows (clicks
+    no purchase followed within the hour) exercise the OTHER state
+    store's watermark eviction — a click's window closes only when
+    the PURCHASE-side watermark passes click_ts + 1 hour, so the
+    sentinel-drain protocol must raise both sides' watermarks (it
+    stages sentinels on both landing dirs already). Same closure
+    hazard as the left join, on both sides at once: an availableNow
+    replay without the drain undercounts BOTH null-click purchases
+    and null-purchase clicks (negative control in
+    tests/test_streaming_outer_join.py)."""
+    p, c = _staged_sides(spark, sf_dir)
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "fullOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+    )
+
+    name = "stream_fouter_ivjoin_sink"
+    _run_to_table(spark, joined, name)
     return spark.table(name).filter(F.col("user_id") >= 0)

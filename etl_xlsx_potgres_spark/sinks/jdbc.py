@@ -287,7 +287,7 @@ def foreach_partition_copy(
                         f"({', '.join(quoted_cols)}) FROM STDIN"
                     )
                     cur.copy_expert(
-                        sql, _ChunkReader(pgwire._copy_encode(row_iter))
+                        sql, _ChunkReader(pgwire.copy_encode(row_iter))
                     )
                 else:
                     raise TypeError(

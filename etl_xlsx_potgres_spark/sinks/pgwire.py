@@ -256,6 +256,14 @@ def _copy_encode(rows, flush_bytes: int = 256 * 1024):
         yield "".join(buf).encode()
 
 
+# Public API: sinks/jdbc.py's psycopg2/psycopg3 copy_expert fallback
+# encodes rows with this module's COPY text format, so the encoder
+# pair is part of the declared surface (not private helpers a
+# refactor may silently break).
+copy_field = _copy_field
+copy_encode = _copy_encode
+
+
 class Cursor:
     def __init__(self, conn: "Connection"):
         self._conn = conn
@@ -516,16 +524,30 @@ class Connection:
                 # drain to ReadyForQuery so the connection stays
                 # usable, then propagate the original error.
                 reason = str(exc)[:200].encode("utf-8", "replace")
-                self._send(b"f", reason + b"\x00")  # CopyFail
-                while True:
-                    t, payload = self._recv_message()
-                    if t == b"Z":
-                        break
-                    if t == b"S":
-                        self._param_status(payload)
-                    # 'E' (the server acknowledging CopyFail), 'N',
-                    # 'C', 'A' are all drained silently: the client-side
-                    # exception is the error the caller needs to see.
+                # The recovery itself may fail — if the original
+                # exception WAS a socket death, _send/_recv here raise
+                # again (or the drain would block on a half-dead peer,
+                # bounded only by the per-recv socket timeout). Never
+                # let that secondary failure mask the row-source error:
+                # swallow it, mark the connection unusable, and re-raise
+                # the original. The drain is also message-count-bounded
+                # so a misbehaving peer can't pin the thread forever.
+                try:
+                    self._send(b"f", reason + b"\x00")  # CopyFail
+                    for _ in range(10_000):
+                        t, payload = self._recv_message()
+                        if t == b"Z":
+                            break
+                        if t == b"S":
+                            self._param_status(payload)
+                        # 'E' (the server acknowledging CopyFail), 'N',
+                        # 'C', 'A' are all drained silently: the
+                        # client-side exception is the error the caller
+                        # needs to see.
+                    else:
+                        self.close()
+                except Exception:
+                    self.close()
                 raise
         rowcount = 0
         if in_copy:

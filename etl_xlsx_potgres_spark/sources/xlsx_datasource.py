@@ -23,10 +23,18 @@ Execution model:
   yield **Arrow RecordBatches**, the vectorized path across the
   Python/JVM boundary.
 - Schema: pass one explicitly (``.schema(...)``) or let ``schema()``
-  infer from the FIRST matched file (cells are already typed by the
-  OOXML parser: str/int/float/bool/datetime). Per-file header
-  drift is tolerated: columns are matched by name, missing columns
-  fill with NULL, extra columns are ignored.
+  infer from a SAMPLE of matched files (first ``_INFER_FILES`` files,
+  ``_INFER_ROWS`` rows each; cells are already typed by the OOXML
+  parser: str/int/float/bool/datetime). Columns are unioned by name
+  across the sample and mixed-typed columns widen (int|float ->
+  double, anything else -> string). Per-file header drift is
+  tolerated: columns are matched by name, missing columns fill with
+  NULL, extra columns are ignored. Inference is still a sample —
+  **type coercion on unsampled files is strict**: a cell outside the
+  inferred type (e.g. a non-integral float under a Long column in
+  file 500) raises an executor-side ValueError naming the column
+  rather than silently truncating; pass an explicit wider
+  ``.schema(...)`` for heterogeneous intakes.
 
 Scale posture: this removes the driver bottleneck for *many medium
 files*; a single 100 GB workbook is still one task by format physics,
@@ -51,6 +59,7 @@ from . import xlsx_stdlib
 
 _DEFAULT_BATCH_ROWS = 8192
 _INFER_ROWS = 500
+_INFER_FILES = 4
 
 
 def _expand_paths(path_opt: str) -> list[str]:
@@ -231,7 +240,7 @@ class XlsxDataSource(DataSource):
         path = self.options.get("path") or self.options.get("paths")
         if not path:
             raise ValueError("xlsx source requires a path: .load(<dir|glob>)")
-        first = _expand_paths(path)[0]
+        files = _expand_paths(path)
         sheet_opt = self.options.get("sheet", "0")
         sheet: str | int
         if sheet_opt == "*":
@@ -240,18 +249,30 @@ class XlsxDataSource(DataSource):
             sheet = int(sheet_opt)
         else:
             sheet = sheet_opt
-        headers, rows = xlsx_stdlib.read_rows(first, sheet)
-        if not headers:
+        # Sample several files, not just the first: a later file with
+        # a float (or string) in a column the first file held as int
+        # would otherwise fail the whole scan executor-side. Columns
+        # union by name in first-seen order; per-column samples pool
+        # across files so _infer_field's widening (int|float->double,
+        # any string->string) sees the drift. Still a sample — see
+        # the module docstring for the strict-coercion contract on
+        # unsampled files.
+        order: list[str] = []
+        pooled: dict[str, list] = {}
+        for f in files[:_INFER_FILES]:
+            headers, rows = xlsx_stdlib.read_rows(f, sheet)
+            sample = rows[:_INFER_ROWS]
+            for i, h in enumerate(headers):
+                if h not in pooled:
+                    order.append(h)
+                    pooled[h] = []
+                pooled[h].extend(r[i] for r in sample)
+        if not order:
             raise ValueError(
-                f"cannot infer schema: {first!r} sheet {sheet!r} is empty"
+                f"cannot infer schema: no headers in the first "
+                f"{_INFER_FILES} of {files!r} (sheet {sheet!r})"
             )
-        sample = rows[:_INFER_ROWS]
-        return T.StructType(
-            [
-                _infer_field(h, [r[i] for r in sample])
-                for i, h in enumerate(headers)
-            ]
-        )
+        return T.StructType([_infer_field(h, pooled[h]) for h in order])
 
     def reader(self, schema: T.StructType) -> _XlsxReader:
         return _XlsxReader(schema, self.options)

@@ -1,0 +1,76 @@
+"""Incremental dedup's bucketed signature store must keep its
+promise: probing history with a new batch shuffles ONLY the batch
+side — the history scan reads its buckets in place (no Exchange
+above it). At 100 TB of accepted corpus that is the entire point of
+the layout; this asserts the physical plan, not just the result
+(the result is oracle-checked by test_queries)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from etl_xlsx_potgres_spark.plans import dedup_incremental
+from etl_xlsx_potgres_spark.plans.dedup_fuzzy import _minhash_sig_df
+from etl_xlsx_potgres_spark.sources import load_table
+
+
+def _plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_history_side_probe_is_exchange_free(spark, sf_dir):
+    store = dedup_incremental._provision_store(spark, sf_dir)
+    hist = spark.table(store)
+    newd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_bands = dedup_incremental._bands(_minhash_sig_df(newd))
+    # forbid broadcast (at fixture scale the tiny store would
+    # broadcast, which also has no history Exchange but doesn't prove
+    # the at-scale property): merge-hint forces the sort-merge path
+    # the 100 TB store takes
+    joined = hist.hint("merge").join(new_bands, "band")
+    plan = _plan_str(joined)
+    # exactly two shuffle Exchanges, BOTH on the new-batch subtree
+    # (its signature window + its shuffle into the store's bucketing);
+    # zero above the history scan. The formatted tree prints bucketed
+    # scans directly under their Sort: assert the history branch
+    # (tree lines prefixed ':') carries no Exchange of any kind.
+    import re
+
+    shuffles = re.findall(r"(?<![A-Za-z])Exchange \(", plan)
+    assert len(shuffles) == 2, plan
+    tree = plan.split("\n\n")[0].splitlines()
+    # the SortMergeJoin's FIRST branch is the history side: every
+    # line of that branch carries ':' in the branch column; the
+    # probe branch (and anything nested in it) has ' ' there
+    start = next(i for i, ln in enumerate(tree) if ln.lstrip().startswith(":- "))
+    col = tree[start].index(":")
+    hist_branch = []
+    for ln in tree[start:]:
+        if len(ln) <= col or ln[col] != ":":
+            break
+        hist_branch.append(ln)
+    assert hist_branch and not any("Exchange" in ln for ln in hist_branch), plan
+    assert "dedup_band_store" in "\n".join(hist_branch), plan
+    # and the store scan carries its bucket spec
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+
+
+def test_keep_verdict_matches_band_collisions(spark, sf_dir):
+    out = dedup_incremental.dedup_incremental_newbatch(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "new batch must be non-empty"
+    for r in rows:
+        assert r["keep"] == (r["n_hist_candidates"] == 0)
+    # the fixture corpus contains near-duplicate families spanning
+    # the 90/10 split — at least one new-batch doc must collide with
+    # history, or the query is vacuously keeping everything
+    assert any(not r["keep"] for r in rows)
+    assert any(r["keep"] for r in rows)

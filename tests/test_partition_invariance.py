@@ -84,6 +84,12 @@ NAMES = [
     # partition-order-dependent; the claim is that intersection SIZES
     # summed are not
     "graph_triangle_count",
+    # r14: NB quality scores — floored micro-nat model joins + bigint
+    # doc rollups; the model aggs must be width-independent
+    "quality_nb_scores",
+    # r14: incremental dedup — bucket-routed history probe; the
+    # distinct-candidate counts must not depend on probe width
+    "dedup_incremental_newbatch",
 ]
 
 

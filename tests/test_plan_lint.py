@@ -37,6 +37,11 @@ ARROW_PYTHON_OK = {
     "mm_audio_features",               # mapInPandas WAV feature extraction
     "mm_image_resize",                 # mapInPandas BMP parse + downsample
     "ann_ml_brp_lsh",                  # MLlib LSH model transform
+    "text_chunk_udtf",                 # Arrow-optimized Python UDTF
+                                       # (ArrowEvalPythonUDTF): the
+                                       # table-function extensibility
+                                       # demo; map-side only, no
+                                       # shuffle introduced
 }
 
 _ARROW_NODES = (

@@ -188,13 +188,17 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "lp",                             # DSIR bucket model (<= B = 256
                                           # rows by the bucket modulus —
                                           # constant at any corpus size)
-        "tot",                            # 1-row DSIR corpus totals
+        "lo",                             # NB log-odds model (same <= B-row
+                                          # bucket bound, quality_classifier)
+        "tot",                            # 1-row DSIR/NB corpus totals
         "merged",                         # HLL per-group sketch estimates
                                           # (one row per enum-bounded group —
                                           # 3 return flags at any data size)
         "prior", "offsets",               # sequence-packing bucket frames
                                           # (<= 256 rows: one per 2-hex-char
-                                          # md5 prefix, data-size-free)
+                                          # md5 prefix, data-size-free);
+                                          # "prior" also the 1-row NB class
+                                          # prior (quality_classifier)
         "dim",                            # month dimension (dpp_pruning):
                                           # one row per calendar month —
                                           # grows with time span (~12/yr),

@@ -134,6 +134,18 @@ BUDGETS = {
                                       # runtime-reused, ReusedExchange
                                       # verified) + final seq_id agg; the
                                       # rest are <=256-row bucket frames
+    "quality_nb_scores": 7,           # (doc,bucket) featurize agg + pos/neg
+                                      # model agg + 1-row totals/prior aggs
+                                      # over the persisted count frame +
+                                      # doc rollup + final doc_id join;
+                                      # model joins back by broadcast
+    "quality_nb_confusion": 8,        # same DAG + the 4-row confusion agg
+    "dedup_incremental_newbatch": 2,  # new-batch signature window + hits
+                                      # rollup; the HISTORY side is read
+                                      # from its bucketed store with zero
+                                      # Exchange (tests/
+                                      # test_dedup_incremental.py)
+    "text_chunk_udtf": 0,             # lateral UDTF fan-out is map-only
     "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
                                       # repartition materialized once
                                       # (persisted) + self-join side

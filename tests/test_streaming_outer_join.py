@@ -129,3 +129,86 @@ def test_without_sentinels_outer_rows_stay_buffered(spark):
     # only the inner match surfaces; the two unmatched purchases die
     # in the state store when the bounded replay terminates
     assert got == {(101, 201)}
+
+
+def _run_full_join(spark, work: str, name: str) -> list:
+    """Full-outer twin of _run_join: unmatched rows from BOTH state
+    stores must flush (purchase-side nulls need the click watermark
+    raised and vice versa)."""
+    schema = "event_id long, ts timestamp, user_id long"
+
+    def side(sub):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, sub))
+            .withWatermark("ts", "2 hours")
+        )
+
+    p, c = side("p").alias("p"), side("c").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(c, cond, "fullOuter").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.coalesce(F.col("p.user_id"), F.col("c.user_id")).alias("user_id"),
+    )
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).filter(F.col("user_id") >= 0).collect()
+
+
+# click 203 (user 9) never precedes a purchase — it is the RIGHT-side
+# unmatched row the full join must emit with a null purchase
+_CLICKS_FULL = _CLICKS + [(203, "2024-01-01 13:00:00", 9)]
+
+
+def test_full_outer_sentinels_flush_both_sides(spark):
+    work = tempfile.mkdtemp(prefix="fojoin_sentinel_")
+    _write_files(spark, os.path.join(work, "p"), _ts(_PURCHASES), _SENTINELS)
+    _write_files(spark, os.path.join(work, "c"), _ts(_CLICKS_FULL), _SENTINELS)
+    rows = _run_full_join(spark, work, "fojoin_with_sentinels")
+    shutil.rmtree(work, ignore_errors=True)
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+    # matched + 2 left-unmatched + 2 right-unmatched (click 202 is
+    # outside purchase 102's 1h band, so BOTH emit null-padded)
+    assert got == {
+        (101, 201),
+        (102, None),
+        (103, None),
+        (None, 202),
+        (None, 203),
+    }
+
+
+def test_full_outer_without_sentinels_undercounts_both_sides(spark):
+    work = tempfile.mkdtemp(prefix="fojoin_plain_")
+    _write_files(spark, os.path.join(work, "p"), _ts(_PURCHASES), [])
+    _write_files(spark, os.path.join(work, "c"), _ts(_CLICKS_FULL), [])
+    rows = _run_full_join(spark, work, "fojoin_without_sentinels")
+    shutil.rmtree(work, ignore_errors=True)
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+    # the data's own watermark (min over both sides: max purchase ts
+    # 12:00 - 2h = 10:00) closes click 202's window (09:00) before
+    # the replay ends, so that one unmatched row DOES surface — but
+    # everything nearer the end of stream (null rows for purchases
+    # 102/103, click 203) dies in the state stores: the undercount
+    # the sentinel drain exists to prevent, now on both sides
+    assert got == {(101, 201), (None, 202)}

@@ -164,3 +164,42 @@ def test_coerce_is_strict_where_lossy():
     assert _coerce(dt.datetime(2020, 1, 2), T.DateType(), "c") == dt.date(
         2020, 1, 2
     )
+
+
+def test_inference_widens_across_sampled_files(spark, tmp_path):
+    """r13 ADVICE: a later file with a float (or string) in a column
+    the first file held as int must widen the inferred schema instead
+    of failing the scan executor-side."""
+    d = tmp_path / "drift"
+    d.mkdir()
+    write_xlsx(
+        str(d / "a_first.xlsx"), ["k", "v", "w"],
+        [[1, 10, "x"], [2, 20, "y"]],
+    )
+    write_xlsx(
+        str(d / "b_second.xlsx"), ["k", "v", "w"],
+        [[3, 30.5, "z"], [4, 40, 5]],  # v drifts to float, w to mixed
+    )
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load(str(d))
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(by_name["k"], T.LongType)
+    assert isinstance(by_name["v"], T.DoubleType), "int|float must widen"
+    assert isinstance(by_name["w"], T.StringType), "mixed must degrade"
+    rows = {r["k"]: (r["v"], r["w"]) for r in df.collect()}
+    assert rows[3] == (30.5, "z") and rows[1] == (10.0, "x")
+    assert rows[4] == (40.0, "5")
+
+
+def test_inference_unions_headers_across_sampled_files(spark, tmp_path):
+    """A column present only in a later sampled file still lands in
+    the schema; files missing it fill with NULL (header drift)."""
+    d = tmp_path / "union"
+    d.mkdir()
+    write_xlsx(str(d / "a.xlsx"), ["k"], [[1], [2]])
+    write_xlsx(str(d / "b.xlsx"), ["k", "extra"], [[3, "e3"]])
+    register_xlsx_source(spark)
+    df = spark.read.format("xlsx").load(str(d))
+    assert [f.name for f in df.schema.fields] == ["k", "extra"]
+    rows = {r["k"]: r["extra"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "e3"}
