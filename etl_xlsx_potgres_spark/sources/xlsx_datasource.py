@@ -42,6 +42,12 @@ and the at-scale answer remains ``excel.convert_to_parquet`` at the
 edge. Filter/column pushdown is intentionally not implemented — a
 sheet must be fully parsed to see any cell, so pushdown could prune
 nothing; Catalyst prunes/filters the decoded batches instead.
+
+The WRITE side (``df.write.format("xlsx").save(dir)``) is the
+symmetric ArrowWriter: one workbook per partition built executor-side
+(``_XlsxWriter``), a driver manifest on commit, abort cleanup on job
+failure. Same grain argument in reverse — a workbook is one zip
+container, so partition-per-file is the export parallelism.
 """
 
 from __future__ import annotations
@@ -53,7 +59,13 @@ from typing import Iterator
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from . import xlsx_stdlib
 
@@ -277,7 +289,97 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: T.StructType) -> _XlsxReader:
         return _XlsxReader(schema, self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "_XlsxWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("xlsx sink requires a path: .save(<dir>)")
+        # driver-side, before any task runs: an overwrite clears prior
+        # workbooks so a re-run can't leave a mixed old/new landing dir
+        if overwrite and os.path.isdir(path):
+            for f in glob.glob(os.path.join(path, "*.xlsx")):
+                os.remove(f)
+        os.makedirs(path, exist_ok=True)
+        return _XlsxWriter(schema, dict(self.options))
+
+
+class _XlsxCommit(WriterCommitMessage):
+    """One executor task's result: the workbook it wrote (None for an
+    empty partition) and its row count. Collected on the driver by
+    ``commit`` into a manifest."""
+
+    def __init__(self, path: str | None, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _XlsxWriter(DataSourceArrowWriter):
+    """``df.write.format("xlsx").save(dir)`` — distributed workbook
+    export, the write-side twin of the scan: one workbook per
+    partition, built on executors by the same pure-stdlib OOXML layer
+    (``xlsx_stdlib.write_xlsx``), fed Arrow RecordBatches (no pandas
+    hop). The reference's single driver-side workbook
+    (``importador.py:47``) becomes an N-task fan-out; the per-task
+    file is the natural grain because a workbook is one zip container.
+
+    Commit protocol: each task returns its file + row count; only
+    ``commit`` (driver, all tasks succeeded) publishes the
+    ``_MANIFEST.json``; ``abort`` removes any files written by
+    finished tasks so a failed job can't leave a half-written landing
+    dir that a later scan would silently ingest. Readers that need
+    exactly-committed files should glob the manifest's list.
+
+    Options: ``sheet`` (sheet name, default Plan1)."""
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._schema = schema
+        self._dir = options.get("path")
+        self._sheet = options.get("sheet", "Plan1")
+
+    def write(self, iterator) -> _XlsxCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        headers = [f.name for f in self._schema.fields]
+        rows: list[list] = []
+        for batch in iterator:
+            cols = [c.to_pylist() for c in batch.columns]
+            rows.extend(list(r) for r in zip(*cols))
+        if not rows:
+            return _XlsxCommit(None, 0)
+        out = os.path.join(
+            self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx"
+        )
+        xlsx_stdlib.write_xlsx(out, headers, rows, sheet_name=self._sheet)
+        return _XlsxCommit(out, len(rows))
+
+    def commit(self, messages) -> None:
+        import json
+
+        done = [m for m in messages if m is not None and m.path]
+        manifest = {
+            "files": sorted(
+                ({"path": m.path, "rows": m.rows} for m in done),
+                key=lambda e: e["path"],
+            ),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self._dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
 
 def register_xlsx_source(spark: SparkSession) -> None:
-    """Idempotent session-level registration of the ``xlsx`` format."""
+    """Idempotent session-level registration of the ``xlsx`` format
+    (both directions: ``spark.read.format("xlsx")`` and
+    ``df.write.format("xlsx")``)."""
     spark.dataSource.register(XlsxDataSource)

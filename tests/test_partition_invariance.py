@@ -90,6 +90,12 @@ NAMES = [
     # r14: incremental dedup — bucket-routed history probe; the
     # distinct-candidate counts must not depend on probe width
     "dedup_incremental_newbatch",
+    # r14: Gopher rules — exact-integer ratios; the bigram max/sum
+    # rollup must be width-independent
+    "quality_gopher_repetition",
+    # r14: xlsx export roundtrip — file-per-partition write at TWO
+    # different partition counts must reassemble identically
+    "xlsx_export_roundtrip",
 ]
 
 

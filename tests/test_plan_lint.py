@@ -42,6 +42,9 @@ ARROW_PYTHON_OK = {
                                        # table-function extensibility
                                        # demo; map-side only, no
                                        # shuffle introduced
+    "text_tokcount_arrow",             # raw-Arrow mapInArrow demo:
+                                       # pyarrow.compute kernels, no
+                                       # pandas conversion, map-only
 }
 
 _ARROW_NODES = (
@@ -49,6 +52,7 @@ _ARROW_NODES = (
     "MapInPandas",
     "FlatMapGroupsInPandas",
     "FlatMapCoGroupsInPandas",
+    "MapInArrow",
 )
 
 

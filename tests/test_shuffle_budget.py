@@ -146,6 +146,13 @@ BUDGETS = {
                                       # Exchange (tests/
                                       # test_dedup_incremental.py)
     "text_chunk_udtf": 0,             # lateral UDTF fan-out is map-only
+    "quality_gopher_repetition": 2,   # (doc,bigram) agg + doc rollup;
+                                      # token stats are row-local
+    "text_tokcount_arrow": 0,         # raw-Arrow map, no shuffle
+    "xlsx_export_roundtrip": 1,       # the read-back aggregate; the
+                                      # export repartition is in the
+                                      # (executed) write job, not the
+                                      # returned plan
     "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
                                       # repartition materialized once
                                       # (persisted) + self-join side
