@@ -9,10 +9,23 @@ docs; the mechanism here is identical with the fixture's K=10).
 
 Spark shape (one plan, no iteration):
 
-1. assignment — nearest of K deterministic seed centroids per vector
-   (the same constant-size broadcast + per-vector argmin window as
-   ``emb_kmeans_step``; at 100 TB the centroid frame is K×dim floats,
-   broadcast-safe by construction);
+1. assignment — TWO-LEVEL deterministic argmin (r14, after the 100x
+   probe): vectors first pick the nearest of C = ceil(sqrt(K)) coarse
+   centroids, then the nearest fine centroid WITHIN that coarse cell
+   (fine centroids are pre-assigned to coarse cells by the same
+   argmin). The r13 flat scheme evaluated N×K distances AND — worse —
+   shuffled the N×K crossJoin through a per-vector window; with K∝N
+   (the SemDeDup knob) that is quadratic, measured at 146x wall for
+   100x data. Two-level cuts distance evals to N×(C + K/C) ≈ 2N*sqrt(K)
+   and each argmin is a map-side-partial `min(struct(d2, id))` — the
+   only shuffle carries ONE row per vector, and the second argmin
+   reuses the first's (vec_id, embedding) partitioning with no new
+   Exchange. Probe at 100x data / K=1000: 261.7 s -> see PLANS.md
+   for the re-measured number. This matches the paper's own use of
+   approximate assignment at scale; membership can differ from flat
+   argmin (a vector near a coarse-cell boundary may land in a
+   neighboring fine cluster), and the oracle mirrors the SAME
+   two-level rule, so the check stays bit-exact.
 2. within-cluster pairs — self-equi-join on ``cluster_id`` (shuffle
    keyed on cluster_id; balanced by the K choice, never all-pairs),
    cosine via the left-assoc zip_with/aggregate HOF fold that is
@@ -28,9 +41,8 @@ Spark shape (one plan, no iteration):
    zeros.
 
 TAU = 0.3 is fixture-calibrated (synthetic embeddings are near-
-orthogonal: 260 of 12.4k within-cluster pairs at sf0.01, so removal
-is non-trivial but not degenerate); a production corpus uses the
-paper's 0.9+ on real semantic neighbors.
+orthogonal: removal is non-trivial but not degenerate); a production
+corpus uses the paper's 0.9+ on real semantic neighbors.
 
 100 TB note on the persist: the assignment frame is corpus-sized and
 is needed by three consumers (two join sides + sizes), so ONE
@@ -48,14 +60,38 @@ generalization the LLM-pipeline mandate adds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .corpus_ops import _D2_DUCK, _D2_SPARK, KMEANS_K
+from .corpus_ops import EMB_DIM, KMEANS_K
 
 TAU = 0.3
+_C = math.isqrt(KMEANS_K - 1) + 1  # ceil(sqrt(K)); fixture: 4
+
+
+def _d2_spark(vec: str, seed: str) -> str:
+    """Squared L2, the ``corpus_ops._D2_SPARK`` arithmetic with
+    parameterized operands (two-level assignment needs it against
+    three different column pairs)."""
+    return f"""
+    aggregate(
+      transform(sequence(1, {EMB_DIM}), i ->
+        power(cast(element_at({vec}, i) as double)
+              - cast(element_at({seed}, i) as double), 2D)),
+      0D, (a, t) -> a + t)
+    """
+
+
+def _d2_duck(vec: str, seed: str) -> str:
+    return f"""
+    list_sum(list_transform(generate_series(1, {EMB_DIM}), i ->
+      pow(CAST({vec}[i] AS DOUBLE) - CAST({seed}[i] AS DOUBLE), 2)))
+    """
+
 
 _COS_DUCK = """
 list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -77,15 +113,33 @@ list_sum(list_transform(list_zip(a.embedding, b.embedding),
       SELECT vec_id AS seed_id, embedding AS sv FROM vecs
       WHERE vec_id < {KMEANS_K}
     ),
-    assign AS (
-      SELECT e.vec_id, e.embedding, s.seed_id,
-             row_number() OVER (
-               PARTITION BY e.vec_id ORDER BY {_D2_DUCK}, s.seed_id) AS rn
-      FROM vecs e CROSS JOIN seeds s
+    coarse AS (
+      SELECT vec_id AS c_id, embedding AS cv FROM vecs
+      WHERE vec_id < {_C}
+    ),
+    s2c AS (
+      SELECT seed_id, sv, c_id FROM (
+        SELECT s.seed_id, s.sv, c.c_id,
+               row_number() OVER (PARTITION BY s.seed_id
+                 ORDER BY {_d2_duck("s.sv", "c.cv")}, c.c_id) AS rn
+        FROM seeds s CROSS JOIN coarse c
+      ) WHERE rn = 1
+    ),
+    v2c AS (
+      SELECT vec_id, embedding, c_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_d2_duck("e.embedding", "c.cv")}, c.c_id) AS rn
+        FROM vecs e CROSS JOIN coarse c
+      ) WHERE rn = 1
     ),
     best AS (
-      SELECT vec_id, embedding, seed_id AS cluster_id
-      FROM assign WHERE rn = 1
+      SELECT vec_id, embedding, seed_id AS cluster_id FROM (
+        SELECT v.vec_id, v.embedding, s.seed_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_d2_duck("v.embedding", "s.sv")}, s.seed_id) AS rn
+        FROM v2c v JOIN s2c s ON s.c_id = v.c_id
+      ) WHERE rn = 1
     ),
     pairs AS (
       SELECT a.cluster_id, b.vec_id AS v2
@@ -113,33 +167,72 @@ list_sum(list_transform(list_zip(a.embedding, b.embedding),
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import norm_flat
 
+    n_coarse = math.isqrt(KMEANS_K - 1) + 1  # from module global: the
+    # scale probes patch KMEANS_K, and C must track it (C ∝ sqrt(K))
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
     )
-    pairs = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "embedding", "seed_id", F.expr(_D2_SPARK).alias("d2")
+    coarse = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+
+    def argmin(df: DataFrame, keys: list[str], d2: str, id_col: str,
+               out: str) -> DataFrame:
+        """Deterministic nearest-centroid via map-side-partial
+        min(struct(d2, id)) — lexicographic struct min is exactly
+        ORDER BY d2, id (the window formulation would shuffle the
+        whole candidate crossJoin; this shuffles one row per key)."""
+        m = F.min(
+            F.struct(F.expr(d2).alias("d"), F.col(id_col).alias("i"))
+        ).alias("m")
+        return df.groupBy(*keys).agg(m).select(
+            *keys, F.col("m.i").alias(out)
+        )
+
+    # fine centroid -> coarse cell (K x C rows, constant-size)
+    s2c = argmin(
+        seeds.crossJoin(F.broadcast(coarse)),
+        ["seed_id", "sv"],
+        _d2_spark("sv", "cv"),
+        "c_id",
+        "c_id",
+    )
+    # vector -> coarse cell: N x C distance evals, ONE N-row shuffle
+    v2c = argmin(
+        emb.crossJoin(F.broadcast(coarse)),
+        ["vec_id", "embedding"],
+        _d2_spark("embedding", "cv"),
+        "c_id",
+        "c_id",
+    )
+    # vector -> fine centroid within its cell: ~N x K/C evals; the
+    # groupBy reuses v2c's (vec_id, embedding) partitioning — no new
+    # Exchange (pinned in tests/test_shuffle_budget.py)
+    assign = argmin(
+        v2c.join(F.broadcast(s2c), "c_id"),
+        ["vec_id", "embedding"],
+        _d2_spark("embedding", "sv"),
+        "seed_id",
+        "cluster_id",
+    )
+
     # materialize the assignment ONCE: the self-join's attribute
     # dedup makes the a/b subtrees non-identical, so without a
-    # persist the argmin window recomputes three times (both join
+    # persist the assignment recomputes three times (both join
     # sides + the sizes aggregate — measured on the cold plan);
     # released by the harness via caching.release_persisted()
     from ..caching import scoped_persist
 
     best = scoped_persist(
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        assign.select(
             "vec_id",
             "embedding",
             norm_flat("embedding").alias("nrm"),
-            F.col("seed_id").alias("cluster_id"),
-        )
-        .repartition("cluster_id")
+            "cluster_id",
+        ).repartition("cluster_id")
     )
     a = best.select(
         F.col("vec_id").alias("v1"),

@@ -153,10 +153,15 @@ BUDGETS = {
                                       # export repartition is in the
                                       # (executed) write job, not the
                                       # returned plan
-    "dedup_semantic_clusters": 5,     # argmin window + one cluster_id
+    "dedup_semantic_clusters": 6,     # r14 two-level assignment: one
+                                      # N-row shuffle per argmin level
+                                      # (+K-row s2c agg) + cluster_id
                                       # repartition materialized once
                                       # (persisted) + self-join side
-                                      # realignments; assignment
+                                      # realignments — every Exchange
+                                      # carries <= N rows; the r13 plan
+                                      # shuffled the N*K crossJoin
+                                      # through the argmin window;
                                       # computed ONCE, not 3x
 }
 
