@@ -63,6 +63,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -289,6 +290,9 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: T.StructType) -> _XlsxReader:
         return _XlsxReader(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> "_XlsxStreamReader":
+        return _XlsxStreamReader(schema, dict(self.options))
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "_XlsxWriter":
         path = self.options.get("path")
         if not path:
@@ -300,6 +304,78 @@ class XlsxDataSource(DataSource):
                 os.remove(f)
         os.makedirs(path, exist_ok=True)
         return _XlsxWriter(schema, dict(self.options))
+
+
+class _XlsxStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("xlsx")`` — continuous workbook
+    intake: the reference's uploads/ directory
+    (``importador.py:40-47`` polls one file at a time) as a real
+    Structured Streaming source with offset tracking and replay.
+
+    Offset model: the landing dir is APPEND-ONLY with
+    lexicographically increasing file names (``part-00001.xlsx``, the
+    convention every distributed landing zone uses — same contract as
+    the offsets of a file queue). An offset is simply ``{"n": count}``
+    over the sorted name list; the batch [start, end) maps to that
+    slice, one InputPartition per (file, sheet) so each micro-batch
+    parses its workbooks IN PARALLEL on executors (this is the
+    full ``DataSourceStreamReader``, not the driver-side Simple
+    variant — a 1000-file burst is a 1000-task micro-batch).
+    ``readBetweenOffsets`` replay after a restart re-slices the same
+    sorted list, so a committed batch is reproducible as long as
+    files are never renamed or deleted — the same durability contract
+    as Spark's own file source.
+
+    Schema: pass one explicitly with ``.schema(...)`` (recommended
+    for streams — inference would race the first arriving file) or
+    rely on batch-side inference over whatever has already landed.
+    """
+
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("xlsx stream requires a path: .load(<dir>)")
+        sheet = options.get("sheet", "0")
+        self._sheet: str | int = (
+            int(sheet) if sheet.lstrip("-").isdigit() else sheet
+        )
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._path):
+            return []
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".xlsx")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        files = self._files()[start["n"]:end["n"]]
+        return [InputPartition((f, self._sheet)) for f in files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        path, sheet = partition.value
+        headers, rows = xlsx_stdlib.read_rows(path, sheet)
+        idx_by_name = {}
+        for i, h in enumerate(headers):
+            idx_by_name.setdefault(h, i)
+        fields = self._schema.fields
+        idxs = [idx_by_name.get(f.name) for f in fields]
+        for r in rows:
+            yield tuple(
+                None if i is None else _coerce(r[i], f.dataType, f.name)
+                for i, f in zip(idxs, fields)
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derivable from the append-only listing
 
 
 class _XlsxCommit(WriterCommitMessage):

@@ -96,6 +96,9 @@ NAMES = [
     # r14: xlsx export roundtrip — file-per-partition write at TWO
     # different partition counts must reassemble identically
     "xlsx_export_roundtrip",
+    # r14: PII scrub — deterministic projection must be trivially
+    # width-independent (regression canary for the mask exprs)
+    "pii_scrub_customers",
 ]
 
 

@@ -199,6 +199,12 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # md5 prefix, data-size-free);
                                           # "prior" also the 1-row NB class
                                           # prior (quality_classifier)
+        "coarse", "s2c",                  # SemDeDup centroid frames:
+                                          # <= ceil(sqrt(K)) and <= K rows
+                                          # — K is the operator's own
+                                          # broadcast-safe knob (K x dim
+                                          # floats by construction), data
+                                          # volume scales N, not K rows
         "dim",                            # month dimension (dpp_pruning):
                                           # one row per calendar month —
                                           # grows with time span (~12/yr),

@@ -153,6 +153,10 @@ BUDGETS = {
                                       # export repartition is in the
                                       # (executed) write job, not the
                                       # returned plan
+    "pii_scrub_customers": 0,         # pure projection, map-only
+    "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
+                                      # stream source itself is
+                                      # per-file map tasks
     "dedup_semantic_clusters": 6,     # r14 two-level assignment: one
                                       # N-row shuffle per argmin level
                                       # (+K-row s2c agg) + cluster_id
