@@ -230,6 +230,7 @@ def _verified_green() -> set[str]:
 
 
 def _ordered_names() -> list[str]:
+    registry.load_all()  # standalone-safe, like _verified_green
     names = list(registry.QUERIES)
     green = _verified_green()
     green_round = _green_rounds()

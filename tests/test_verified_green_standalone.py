@@ -30,3 +30,21 @@ def test_verified_green_in_fresh_interpreter():
     )
     assert proc.returncode == 0, proc.stderr
     assert int(proc.stdout.strip()) >= 0
+
+
+def test_ordered_names_in_fresh_interpreter():
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __spark_entry__ as e; "
+            "n = e._ordered_names(); "
+            "assert len(n) >= 200, len(n); "
+            "print(len(n))",
+        ],
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
