@@ -74,3 +74,60 @@ def test_keep_verdict_matches_band_collisions(spark, sf_dir):
     # history, or the query is vacuously keeping everything
     assert any(not r["keep"] for r in rows)
     assert any(r["keep"] for r in rows)
+
+
+def test_store_append_absorbs_accepted_batch(spark, sf_dir):
+    """The production loop the module docstring promises: after a
+    batch is screened, the ACCEPTED docs' band signatures append to
+    the bucketed store (per-bucket files, no history rewrite), and
+    the next probe sees them. Here: probe the store with the SAME
+    new-batch bands before and after appending them — before, a doc
+    only collides via history; after, every new-batch doc collides
+    with at least itself."""
+    store = dedup_incremental._provision_store(spark, sf_dir)
+    files_before = {
+        f.path
+        for f in spark.read.format("binaryFile")
+        .load(spark.table(store).inputFiles()[0].rsplit("/", 1)[0])
+        .select("path")
+        .collect()
+    }
+    newd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_bands = dedup_incremental._bands(_minhash_sig_df(newd))
+    hits_before = (
+        new_bands.join(spark.table(store), "band")
+        .select(new_bands.doc_id)
+        .distinct()
+        .count()
+    )
+    # append the accepted batch's signatures (bucketed append writes
+    # new per-bucket files; history files are untouched)
+    new_bands.write.mode("append").format("parquet").bucketBy(
+        dedup_incremental.N_BUCKETS, "band"
+    ).sortBy("band").saveAsTable(store)
+    files_after = {
+        f.path
+        for f in spark.read.format("binaryFile")
+        .load(spark.table(store).inputFiles()[0].rsplit("/", 1)[0])
+        .select("path")
+        .collect()
+    }
+    assert files_before <= files_after and len(files_after) > len(
+        files_before
+    ), "append must add bucket files without rewriting history"
+    hits_after = (
+        new_bands.join(spark.table(store), "band")
+        .select(new_bands.doc_id)
+        .distinct()
+        .count()
+    )
+    n_new_docs_with_bands = new_bands.select("doc_id").distinct().count()
+    assert hits_after == n_new_docs_with_bands, (
+        "every appended doc must now collide (at least with itself)"
+    )
+    assert hits_after >= hits_before
+    # leave a clean store for other tests/queries (provision
+    # re-overwrites per run anyway, but don't depend on ordering)
+    dedup_incremental._provision_store(spark, sf_dir)
