@@ -84,3 +84,47 @@ def test_header_drift_fills_missing_with_null(tmp_path):
     write_xlsx(os.path.join(str(tmp_path), "a.xlsx"), ["id"], [[7]])
     r = _reader(tmp_path)
     assert _rows(r, r.partitions({"n": 0}, {"n": 1})) == [(7, None)]
+
+
+def test_incremental_arrival_live_stream(spark, tmp_path):
+    """End-to-end: a running processingTime stream picks up a file
+    that lands AFTER the stream started — the offset tracking works
+    against a live listing, not just bounded replays."""
+    import time
+
+    from etl_xlsx_potgres_spark.sources.xlsx_datasource import (
+        register_xlsx_source,
+    )
+
+    register_xlsx_source(spark)
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write(d, "part-00000.xlsx", [[1, "a"], [2, "b"]])
+    name = "xlsx_stream_live_test"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = spark.readStream.format("xlsx").schema(_SCHEMA).load(d)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def wait_count(n, timeout=60):
+            t0 = time.time()
+            while time.time() - t0 < timeout:
+                if spark.table(name).count() >= n:
+                    break
+                time.sleep(0.5)
+            return spark.table(name).count()
+
+        assert wait_count(2) == 2
+        _write(d, "part-00001.xlsx", [[3, "c"]])
+        assert wait_count(3) == 3
+        got = {tuple(r) for r in spark.table(name).collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+    finally:
+        q.stop()
