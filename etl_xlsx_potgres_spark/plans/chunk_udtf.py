@@ -49,9 +49,16 @@ class ChunkTokensUdtf:
     them like the JVM chunker's ``size(toks) > 0`` filter."""
 
     def eval(self, text: str):
+        # Java's \s is ASCII-only ([ \t\n\x0B\f\r]); Python's is
+        # Unicode-aware, so a bare re.split(r"\s+") would split on
+        # \xa0 where the JVM chunker keeps it inside a token (and
+        # .strip() would eat leading unicode whitespace Java's trim
+        # leaves). Spell the Java class out and let the empty-string
+        # filter absorb leading/trailing separators — byte-for-byte
+        # the declarative twin's tokenization.
         toks = [
             t
-            for t in re.split(r"\s+", (text or "").lower().strip())
+            for t in re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())
             if t
         ]
         n = len(toks)
