@@ -99,6 +99,9 @@ NAMES = [
     # r14: PII scrub — deterministic projection must be trivially
     # width-independent (regression canary for the mask exprs)
     "pii_scrub_customers",
+    # r14: mix rebalance — md5-coin keep decisions summed per source
+    # must be exact at any width (bigint cross-products, no floats)
+    "corpus_mix_rebalance",
 ]
 
 

@@ -191,6 +191,11 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "lo",                             # NB log-odds model (same <= B-row
                                           # bucket bound, quality_classifier)
         "tot",                            # 1-row DSIR/NB corpus totals
+        "src",                            # per-SOURCE mix frame (one row
+                                          # per distinct source — grows
+                                          # with catalog breadth, a
+                                          # metadata-sized enum, not with
+                                          # data volume; corpus_mix)
         "merged",                         # HLL per-group sketch estimates
                                           # (one row per enum-bounded group —
                                           # 3 return flags at any data size)

@@ -154,6 +154,11 @@ BUDGETS = {
                                       # (executed) write job, not the
                                       # returned plan
     "pii_scrub_customers": 0,         # pure projection, map-only
+    "corpus_mix_rebalance": 4,        # per-source count agg + 1-row
+                                      # totals + doc-grain keep partials
+                                      # + source rollup; the corpus
+                                      # itself never shuffles (source
+                                      # frames broadcast back)
     "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
                                       # stream source itself is
                                       # per-file map tasks
