@@ -102,6 +102,15 @@ NAMES = [
     # r14: mix rebalance — md5-coin keep decisions summed per source
     # must be exact at any width (bigint cross-products, no floats)
     "corpus_mix_rebalance",
+    # r14: bin-histogram selection/gating — integer micro-scores and
+    # cumulative bin sums must be exact at any width
+    "select_token_budget",
+    "quality_ccnet_gate",
+    # r14: batch formation — row_number over (n_tokens, doc_id) is a
+    # total order, so batch stats must not move with partitioning
+    "pack_length_buckets",
+    # r14: blocked linkage — min(struct) argmin must be width-stable
+    "linkage_blocked_match",
 ]
 
 

@@ -159,6 +159,20 @@ BUDGETS = {
                                       # + source rollup; the corpus
                                       # itself never shuffles (source
                                       # frames broadcast back)
+    "select_token_budget": 2,         # score-bin histogram agg + the
+                                      # ~100-row bin window; the corpus
+                                      # is never globally sorted
+    "pack_length_buckets": 4,         # 2 per-(bucket,shard) windows
+                                      # (bucketed + naive policies) +
+                                      # batch agg + bucket rollup
+    "quality_ccnet_gate": 2,          # (lang,bin) histogram agg + the
+                                      # <=101-row per-lang band window
+                                      # (final lang rollup reuses the
+                                      # lang partitioning)
+    "linkage_blocked_match": 2,       # block-key candidate join +
+                                      # argmin/report aggs; fixture-
+                                      # scale dims auto-broadcast, at
+                                      # scale the block join is SMJ
     "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
                                       # stream source itself is
                                       # per-file map tasks
