@@ -173,6 +173,13 @@ BUDGETS = {
                                       # argmin/report aggs; fixture-
                                       # scale dims auto-broadcast, at
                                       # scale the block join is SMJ
+    "agg_kll_quantiles_mergeable": 3, # partial-grain sketch agg +
+                                      # flag merge + exact-rank
+                                      # verifier agg (estimates join
+                                      # back broadcast)
+    "agg_theta_setops_mergeable": 4,  # partial sketch agg + 1-row
+                                      # union merge + custkey-flag agg
+                                      # + 1-row exact counts
     "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
                                       # stream source itself is
                                       # per-file map tasks
