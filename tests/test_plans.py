@@ -199,6 +199,12 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "merged",                         # HLL per-group sketch estimates
                                           # (one row per enum-bounded group —
                                           # 3 return flags at any data size)
+        "est",                            # sketch estimate frames: KLL
+                                          # quantiles (one row per enum-
+                                          # bounded return flag) and Theta
+                                          # set-op estimates (1 row) — a
+                                          # sketch readout is constant-size
+                                          # by construction at any volume
         "prior", "offsets",               # sequence-packing bucket frames
                                           # (<= 256 rows: one per 2-hex-char
                                           # md5 prefix, data-size-free);
