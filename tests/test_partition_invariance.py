@@ -111,6 +111,9 @@ NAMES = [
     "pack_length_buckets",
     # r14: blocked linkage — min(struct) argmin must be width-stable
     "linkage_blocked_match",
+    # r14: drift monitor — micro-unit TV distances are exact bigints,
+    # immune to partition-order float summation
+    "drift_weekly_value_hist",
 ]
 
 

@@ -180,6 +180,10 @@ BUDGETS = {
     "agg_theta_setops_mergeable": 4,  # partial sketch agg + 1-row
                                       # union merge + custkey-flag agg
                                       # + 1-row exact counts
+    "drift_weekly_value_hist": 6,     # ONE corpus histogram pass
+                                      # (persisted), then window/self-
+                                      # join/rollup plumbing over the
+                                      # (types x weeks x 10-bin) frame
     "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
                                       # stream source itself is
                                       # per-file map tasks
