@@ -83,7 +83,8 @@ SELECT policy, length_bucket,
        CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
        CAST(SUM(n_in_batch * max_len) AS BIGINT) AS padded_tokens,
        CAST(((SUM(n_in_batch * max_len) - SUM(real_tokens)) * 1000000)
-            // SUM(n_in_batch * max_len) AS BIGINT) AS waste_micro
+            // greatest(SUM(n_in_batch * max_len), 1) AS BIGINT)
+         AS waste_micro
 FROM batches
 GROUP BY 1, 2
 """
@@ -160,9 +161,10 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_batches",
             "real_tokens",
             "padded_tokens",
+            # greatest(,1): a bucket of all-empty documents pads to 0
             F.expr(
                 "CAST(((padded_tokens - real_tokens) * 1000000)"
-                " DIV padded_tokens AS BIGINT)"
+                " DIV greatest(padded_tokens, 1) AS BIGINT)"
             ).alias("waste_micro"),
         )
     )
