@@ -205,6 +205,8 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # set-op estimates (1 row) — a
                                           # sketch readout is constant-size
                                           # by construction at any volume
+        "max_week",                       # 1-row MAX(week) bound frame
+                                          # (drift_monitor)
         "prior", "offsets",               # sequence-packing bucket frames
                                           # (<= 256 rows: one per 2-hex-char
                                           # md5 prefix, data-size-free);
