@@ -114,6 +114,9 @@ NAMES = [
     # r14: drift monitor — micro-unit TV distances are exact bigints,
     # immune to partition-order float summation
     "drift_weekly_value_hist",
+    # r14: PQ ADC search — micro-floored LUT/exact distances with
+    # (dist, vec_id) tie-breaks must rank identically at any width
+    "ann_pq_adc_rerank",
 ]
 
 

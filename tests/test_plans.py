@@ -207,6 +207,12 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # by construction at any volume
         "max_week",                       # 1-row MAX(week) bound frame
                                           # (drift_monitor)
+        "lut",                            # PQ ADC lookup table:
+                                          # NQ*M*K = 320 rows by the
+                                          # query/codebook bounds,
+                                          # data-size-free (pq_search)
+        "hits",                           # per-query recall counts
+                                          # (<= NQ = 10 rows, pq_search)
         "prior", "offsets",               # sequence-packing bucket frames
                                           # (<= 256 rows: one per 2-hex-char
                                           # md5 prefix, data-size-free);

@@ -184,6 +184,12 @@ BUDGETS = {
                                       # (persisted), then window/self-
                                       # join/rollup plumbing over the
                                       # (types x weeks x 10-bin) frame
+    "ann_pq_adc_rerank": 16,          # corpus-scale: code argmin
+                                      # window + ADC partial agg +
+                                      # shortlist window + the exact
+                                      # VERIFIER side (fixture-only);
+                                      # the rest is broadcast-LUT and
+                                      # <=NQ-row verdict plumbing
     "xlsx_stream_ingest": 1,          # the post-replay 4-key agg; the
                                       # stream source itself is
                                       # per-file map tasks
