@@ -31,20 +31,33 @@ from ..sources import load_table
 from .importance_sampling import _DUCK_TOKS
 
 
+# DuckDB's default trim() strips exactly the Unicode Zs (space
+# separator) category — probed char-by-char against duckdb 1.x: it
+# does NOT touch \t \n \x0b \f \r     \x85.  Arrow's
+# utf8_trim_whitespace strips MORE (all Unicode whitespace incl.
+# \t/\x0b/ ), which diverges from the oracle on text like
+# '\xa0 a' (oracle: 1 token after trimming the \xa0; old impl: 1 by
+# luck, but 'a\x0b b' style inputs split differently).  Mirror the
+# oracle instead: Zs-only trim, then count maximal runs of
+# non-RE2-\s chars ([\t\n\f\r ] — RE2's ASCII \s, which both Arrow
+# and DuckDB regexes use).  Run-count == token count directly: no
+# +1/empty-string special case.
+_ZS_CHARS = "".join(
+    map(
+        chr,
+        [0x20, 0xA0, 0x1680, *range(0x2000, 0x200B), 0x202F, 0x205F, 0x3000],
+    )
+)
+
+
 def _count_batches(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
     for batch in batches:
         text = batch.column(1)
-        trimmed = pc.utf8_trim_whitespace(text)
-        runs = pc.count_substring_regex(trimmed, r"\s+")
-        nonempty = pc.not_equal(pc.utf8_length(trimmed), 0)
-        n_tokens = pc.if_else(
-            nonempty,
-            pc.add(runs, 1),
-            pa.scalar(0, type=pa.int32()),
-        )
+        trimmed = pc.utf8_trim(text, _ZS_CHARS)
+        n_tokens = pc.count_substring_regex(trimmed, "[^\t\n\f\r ]+")
         yield pa.record_batch(
             [
                 batch.column(0),

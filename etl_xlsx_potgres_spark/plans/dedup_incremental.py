@@ -38,6 +38,7 @@ flips the counts.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +49,18 @@ from ..operators.text import sql_minhash_exprs
 from .dedup_fuzzy import _minhash_sig_df
 
 N_BUCKETS = 8
-_WH = "/tmp/spark_graft_dedup_store"
+
+
+def _store_root(spark: SparkSession) -> str:
+    """Per-session store root: two concurrent sessions on one host
+    (parallel test/bench runs) must not drop/overwrite each other's
+    external-table files mid-read, so key the directory on the Spark
+    applicationId — unique per session, stable across repeated runs
+    within it (the provisioner is idempotent per SF)."""
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_dedup_store_{app}"
+    )
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -112,7 +124,7 @@ def _provision_store(spark: SparkSession, sf_dir: str) -> str:
     (idempotent per SF; catalog entry re-registered per session)."""
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     name = f"dedup_band_store_{sf.replace('.', '_').replace('-', '_')}"
-    path = os.path.join(_WH, name)
+    path = os.path.join(_store_root(spark), name)
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != 0

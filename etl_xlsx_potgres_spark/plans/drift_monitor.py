@@ -39,8 +39,20 @@ from ..sources import load_table
 _BINS = 10
 _TV_ALERT = 80_000  # 8% in micro-units
 
-_DUCK_WEEK = "CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT)"
-_SPARK_WEEK = "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') DIV 7 AS INT)"
+# explicit floor() on BOTH engines: Spark's DIV truncates toward
+# zero, and DuckDB's integer // ALSO truncates in current builds
+# (probed: -3 // 7 = 0) despite docs calling it floor division --
+# spelling floor() out is the only version-proof way to make a
+# pre-anchor ts bucket identically per engine.
+_DUCK_WEEK = (
+    "CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+    " / 7.0) AS INT)"
+)
+# floor over double is exact here: datediff is a small integer and
+# correctly-rounded /7 can't cross an integer boundary.
+_SPARK_WEEK = (
+    "CAST(floor(datediff(CAST(ts AS DATE), DATE'2024-01-01') / 7) AS INT)"
+)
 _DUCK_BIN = f"CAST(least(floor(value / 2.0), {_BINS - 1}) AS INT)"
 _SPARK_BIN = f"CAST(least(floor(value / 2.0D), {_BINS - 1}) AS INT)"
 

@@ -298,10 +298,17 @@ class XlsxDataSource(DataSource):
         if not path:
             raise ValueError("xlsx sink requires a path: .save(<dir>)")
         # driver-side, before any task runs: an overwrite clears prior
-        # workbooks so a re-run can't leave a mixed old/new landing dir
+        # workbooks AND the prior manifest — if it survived and the
+        # new job then failed (abort removes the new files), readers
+        # following the "glob the manifest's list" guidance would see
+        # phantom entries for deleted workbooks.
         if overwrite and os.path.isdir(path):
             for f in glob.glob(os.path.join(path, "*.xlsx")):
                 os.remove(f)
+            try:
+                os.remove(os.path.join(path, "_MANIFEST.json"))
+            except OSError:
+                pass
         os.makedirs(path, exist_ok=True)
         return _XlsxWriter(schema, dict(self.options))
 
@@ -419,17 +426,35 @@ class _XlsxWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         headers = [f.name for f in self._schema.fields]
-        rows: list[list] = []
-        for batch in iterator:
-            cols = [c.to_pylist() for c in batch.columns]
-            rows.extend(list(r) for r in zip(*cols))
-        if not rows:
+
+        # peak memory is ONE Arrow batch, not the partition: each
+        # batch is row-pivoted and immediately deflated into the zip
+        # entry by the streaming stdlib writer. Peek the first batch
+        # so an empty partition writes no file at all.
+        def _row_batches(first, rest):
+            for batch in ([first] if first is not None else []):
+                cols = [c.to_pylist() for c in batch.columns]
+                yield [list(r) for r in zip(*cols)]
+            for batch in rest:
+                cols = [c.to_pylist() for c in batch.columns]
+                yield [list(r) for r in zip(*cols)]
+
+        it = iter(iterator)
+        head = next(it, None)
+        if head is None:
             return _XlsxCommit(None, 0)
         out = os.path.join(
             self._dir, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx"
         )
-        xlsx_stdlib.write_xlsx(out, headers, rows, sheet_name=self._sheet)
-        return _XlsxCommit(out, len(rows))
+        n = xlsx_stdlib.write_xlsx_stream(
+            out, headers, _row_batches(head, it), sheet_name=self._sheet
+        )
+        if n == 0:
+            # all batches were empty (Arrow may emit zero-row
+            # batches): keep the old no-file contract
+            os.remove(out)
+            return _XlsxCommit(None, 0)
+        return _XlsxCommit(out, n)
 
     def commit(self, messages) -> None:
         import json

@@ -256,21 +256,15 @@ def _cell_xml(value) -> str:
     return f'<c t="inlineStr"><is><t xml:space="preserve">{_xml_escape(str(value))}</t></is></c>'
 
 
-def write_xlsx(
-    path: str, headers: list[str], rows: list[list],
+def write_xlsx_stream(
+    path: str, headers: list[str], row_batches,
     sheet_name: str = "Plan1",
-) -> str:
-    """Minimal valid workbook: one sheet, inline strings, date cells
-    styled with builtin format 14."""
-    all_rows = [list(headers)] + [list(r) for r in rows]
-    body = "".join(
-        "<row>" + "".join(_cell_xml(v) for v in row) + "</row>"
-        for row in all_rows
-    )
-    sheet_xml = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<worksheet xmlns="{_NS_MAIN}"><sheetData>{body}</sheetData></worksheet>'
-    )
+) -> int:
+    """Streaming workbook writer: ``row_batches`` is an iterable of
+    row-lists; each batch is XML-encoded and flushed into the zip
+    entry as it arrives, so peak memory is one batch, not the whole
+    sheet (zipfile's ``open(name, "w")`` deflates incrementally).
+    Returns the number of data rows written."""
     wb_xml = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_NS_MAIN}" '
@@ -278,11 +272,42 @@ def write_xlsx(
         f'<sheets><sheet name="{_xml_escape(sheet_name)}" sheetId="1" r:id="rId1"/></sheets>'
         "</workbook>"
     )
+    n_rows = 0
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
         zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
         zf.writestr("_rels/.rels", _ROOT_RELS)
         zf.writestr("xl/workbook.xml", wb_xml)
         zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
         zf.writestr("xl/styles.xml", _STYLES)
-        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+        with zf.open("xl/worksheets/sheet1.xml", "w") as sheet:
+            sheet.write(
+                (
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    f'<worksheet xmlns="{_NS_MAIN}"><sheetData>'
+                    "<row>"
+                    + "".join(_cell_xml(h) for h in headers)
+                    + "</row>"
+                ).encode()
+            )
+            for batch in row_batches:
+                sheet.write(
+                    "".join(
+                        "<row>"
+                        + "".join(_cell_xml(v) for v in row)
+                        + "</row>"
+                        for row in batch
+                    ).encode()
+                )
+                n_rows += len(batch)
+            sheet.write(b"</sheetData></worksheet>")
+    return n_rows
+
+
+def write_xlsx(
+    path: str, headers: list[str], rows: list[list],
+    sheet_name: str = "Plan1",
+) -> str:
+    """Minimal valid workbook: one sheet, inline strings, date cells
+    styled with builtin format 14."""
+    write_xlsx_stream(path, list(headers), [rows], sheet_name=sheet_name)
     return path
