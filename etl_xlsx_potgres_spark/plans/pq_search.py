@@ -58,18 +58,26 @@ list_sum(list_transform(generate_series(1, 64), i ->
   pow(CAST(q.embedding[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE), 2)))
 """
 
-_ORACLE = f"""
-WITH vecs AS (
+# the WITH prologue (vecs + subspace explode) and the search tail
+# (codes/lut/adc/shortlist/exact/rerank/hits) are shared with the
+# k-means-trained codebook variant (``plans/pq_trained``): the tail
+# reads whatever CTE is named ``codebook``.
+_VECS_SUBS = f"""\
+vecs AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ),
 subs AS (
   SELECT vec_id, m.m,
          embedding[m.m*{SUB_D}+1 : m.m*{SUB_D}+{SUB_D}] AS sub
   FROM vecs, (SELECT unnest(generate_series(0, {M - 1})) AS m) m
-),
+)"""
+
+_SEED_CODEBOOK = f"""\
 codebook AS (
   SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < {PQ_K}
-),
+)"""
+
+_SEARCH_TAIL = f"""\
 codes AS (
   SELECT vec_id, m, k FROM (
     SELECT s.vec_id, s.m, c.k,
@@ -126,15 +134,22 @@ hits AS (
   GROUP BY 1
 )
 SELECT r.qid, r.vec_id, r.adc_micro, r.d2_micro, h.n_hits_exact
-FROM rerank r JOIN hits h ON h.qid = r.qid
-"""
+FROM rerank r JOIN hits h ON h.qid = r.qid"""
 
 
-@register("ann_pq_adc_rerank", oracle=_ORACLE)
-def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+def search_oracle(codebook_ctes: str) -> str:
+    """Full ADC-search oracle against any codebook CTE chain whose
+    final CTE is named ``codebook`` with columns (m, k, csub)."""
+    return f"WITH {_VECS_SUBS}, {codebook_ctes}, {_SEARCH_TAIL}"
+
+
+_ORACLE = search_oracle(_SEED_CODEBOOK)
+
+
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): every vector exploded into its M subspace
+    slices — the shared input frame of encode, LUT build, and
+    codebook training (``pq_trained``)."""
     sub_structs = F.array(
         *[
             F.struct(
@@ -146,12 +161,23 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(M)
         ]
     )
-    subs = emb.select("vec_id", F.explode(sub_structs).alias("s")).select(
+    return emb.select("vec_id", F.explode(sub_structs).alias("s")).select(
         "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
     )
-    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("k"), F.col("sub").alias("csub")
-    )
+
+
+def _adc_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    subs: DataFrame,
+    codebook: DataFrame,
+) -> DataFrame:
+    """The full ADC query path against an arbitrary (m, k, csub)
+    codebook: encode the corpus, build per-query LUTs, ADC-scan,
+    re-rank the shortlist exactly, and attach the recall-verifier hit
+    counts.  Shared by the seed-codebook query below and the
+    k-means-trained variant (``plans/pq_trained``)."""
     # database codes: the encode-side argmin (one row per vector per
     # subspace; the corpus's raw floats end here)
     code_w = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
@@ -246,3 +272,15 @@ def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank.join(F.broadcast(hits), "qid").select(
         "qid", "vec_id", "adc_micro", "d2_micro", "n_hits_exact"
     )
+
+
+@register("ann_pq_adc_rerank", oracle=_ORACLE)
+def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    subs = _subvectors(emb)
+    codebook = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sub").alias("csub")
+    )
+    return _adc_rerank(spark, sf_dir, emb, subs, codebook)
