@@ -179,6 +179,39 @@ def main() -> None:
     times["reference_pipeline_1200rows"] = round(statistics.median(ref_samples), 3)
     loadavg_1m.append(round(os.getloadavg()[0], 2))
 
+    # Ratio-vs-anchor (VERDICT r14 task 7): same-code totals spread
+    # ~8% run-to-run, so cross-run comparisons use the PER-QUERY ratio
+    # distribution against the last committed anchor (the BENCH_FULL
+    # this run is about to overwrite, or $SPARK_GRAFT_BENCH_ANCHOR).
+    # A genuine regression moves specific queries' ratios far from the
+    # median; host drift moves the whole distribution together.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    anchor_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_ANCHOR", os.path.join(repo, "BENCH_FULL.json")
+    )
+    ratio_stats = None
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        aq = anchor.get("queries", {})
+        pairs = sorted(
+            ((round(times[n] / aq[n], 3), n) for n in times
+             if n in aq and aq[n] > 0),
+        )
+        if pairs:
+            ratios = [r for r, _ in pairs]
+            k = len(ratios)
+            ratio_stats = {
+                "anchor_total": anchor.get("value"),
+                "anchor_n": len(aq),
+                "n_common": k,
+                "median": round(statistics.median(ratios), 3),
+                "iqr": [ratios[k // 4], ratios[(3 * k) // 4]],
+                "worst3": [[n, r] for r, n in pairs[-3:][::-1]],
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_query_wall_total",
@@ -203,13 +236,13 @@ def main() -> None:
         # may exceed the worker count (the bench's own load tops out
         # there; anything above is contention).
         "load_flag": loadavg_1m[0] > 0.15 * cpus or max(loadavg_1m) > cpus,
+        "ratio_vs_anchor": ratio_stats,
     }
 
     # Full per-query detail always lands next to this script; the
     # printed line must survive a 2000-char stdout tail capture (the
     # round-1 line was ~5 KB and got head-truncated into unparseable
     # JSON), so trim the inline map to the slowest queries as needed.
-    repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
         json.dump(
             {

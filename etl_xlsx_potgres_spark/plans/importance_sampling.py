@@ -21,10 +21,11 @@ Public method, re-expressed Spark-first:
 Numeric policy: per-bucket log-ratios floor to integer micro-nats
 (the ``text_bigram_logprob`` grid) so every per-document aggregate is
 an exact bigint sum — order-independent on both engines. The ratio is
-formed as one division of two exact integer products; at fixture
-scale those products fit a bigint with ~6 digits of headroom (a
-100 TB deployment lifts the counts into doubles before the ratio —
-the weight is statistical, not monetary).
+formed with each smoothed count LIFTED TO DOUBLE before the
+multiply: exact (hence oracle-bit-identical) while every factor is
+below 2^53, and overflow-proof at 100 TB where the old bigint
+products (~count x corpus_total) would wrap int64 — the r14 verdict's
+headroom caveat, now the tested path (tests/test_double_lift.py).
 
 Plan shape: ONE tokenize+featurize pass over ``documents`` (grams are
 built as a per-row array — unigrams ``concat`` a ``zip_with`` bigram
@@ -113,8 +114,10 @@ _ORACLE_WEIGHTS = f"""
     lp AS (
       SELECT raw.bucket,
              CAST(floor(ln(
-                 CAST((COALESCE(tgt.tb, 0) + 1) * (tot.rtot + {B}) AS DOUBLE)
-               / CAST((raw.rb + 1) * (tot.ttot + {B}) AS DOUBLE)
+                 (CAST(COALESCE(tgt.tb, 0) + 1 AS DOUBLE)
+                  * CAST(tot.rtot + {B} AS DOUBLE))
+               / (CAST(raw.rb + 1 AS DOUBLE)
+                  * CAST(tot.ttot + {B} AS DOUBLE))
              ) * 1000000) AS BIGINT) AS lp_micro
       FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot
     )
@@ -159,11 +162,12 @@ def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(
                 F.log(
                     (
-                        (F.coalesce(F.col("tb"), F.lit(0)) + 1)
-                        * (F.col("rtot") + B)
-                    ).cast("double")
-                    / ((F.col("rb") + 1) * (F.col("ttot") + B)).cast(
-                        "double"
+                        (F.coalesce(F.col("tb"), F.lit(0)) + 1).cast("double")
+                        * (F.col("rtot") + B).cast("double")
+                    )
+                    / (
+                        (F.col("rb") + 1).cast("double")
+                        * (F.col("ttot") + B).cast("double")
                     )
                 )
                 * 1000000

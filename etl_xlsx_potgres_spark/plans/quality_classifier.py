@@ -33,8 +33,10 @@ same score frame and adds one tiny groupBy. Unlike DSIR
 discriminative scorer — together they cover both standard shapes of
 model-based data curation.
 
-Bigint headroom: same caveat as DSIR — at 100 TB lift the smoothed
-count products into doubles before the ratio; the score is
+Bigint headroom: as in DSIR, each smoothed count is lifted to
+double BEFORE the multiply — exact below 2^53 per factor (so the
+oracle stays bit-identical at fixture scale) and overflow-proof at
+100 TB (tests/test_double_lift.py); the score is
 statistical, not monetary.
 
 Reference lifecycle note: the reference has no corpus stage
@@ -98,8 +100,10 @@ _ORACLE_SCORES = f"""
     lo AS (
       SELECT cls.bucket,
              CAST(floor(ln(
-                 CAST((cls.pb + 1) * (tot.ntot + {B}) AS DOUBLE)
-               / CAST((cls.nb + 1) * (tot.ptot + {B}) AS DOUBLE)
+                 (CAST(cls.pb + 1 AS DOUBLE)
+                  * CAST(tot.ntot + {B} AS DOUBLE))
+               / (CAST(cls.nb + 1 AS DOUBLE)
+                  * CAST(tot.ptot + {B} AS DOUBLE))
              ) * 1000000) AS BIGINT) AS lo_micro
       FROM cls CROSS JOIN tot
     ),
@@ -162,8 +166,14 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.floor(
             F.log(
-                ((F.col("pb") + 1) * (F.col("ntot") + B)).cast("double")
-                / ((F.col("nb") + 1) * (F.col("ptot") + B)).cast("double")
+                (
+                    (F.col("pb") + 1).cast("double")
+                    * (F.col("ntot") + B).cast("double")
+                )
+                / (
+                    (F.col("nb") + 1).cast("double")
+                    * (F.col("ptot") + B).cast("double")
+                )
             )
             * 1000000
         )

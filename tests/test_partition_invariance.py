@@ -117,6 +117,13 @@ NAMES = [
     # r14: PQ ADC search — micro-floored LUT/exact distances with
     # (dist, vec_id) tie-breaks must rank identically at any width
     "ann_pq_adc_rerank",
+    # r15: trained PQ — the Lloyd update's per-(m,k,dim) micro sums
+    # and sorted-collect codebook rebuild are the partition-sensitive
+    # mechanics; the claim is exact-mean width independence
+    "ann_pq_trained",
+    # r15: URL dedup — min/count window over the canonical key must
+    # not depend on which partition sees a group first
+    "dedup_url_canonical",
 ]
 
 

@@ -45,6 +45,9 @@ ARROW_PYTHON_OK = {
     "text_tokcount_arrow",             # raw-Arrow mapInArrow demo:
                                        # pyarrow.compute kernels, no
                                        # pandas conversion, map-only
+    "html_extract_boilerplate",        # stdlib html.parser boilerplate
+                                       # strip — genuine Python work,
+                                       # Arrow-batched, map-only
 }
 
 _ARROW_NODES = (

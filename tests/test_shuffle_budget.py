@@ -203,6 +203,19 @@ BUDGETS = {
                                       # shuffled the N*K crossJoin
                                       # through the argmin window;
                                       # computed ONCE, not 3x
+    # r15 additions
+    "ann_pq_trained": 16,             # same search DAG as
+                                      # ann_pq_adc_rerank; the Lloyd
+                                      # training iterations end at a
+                                      # localCheckpoint so their
+                                      # exchanges are not in the
+                                      # returned plan
+    "quality_gopher_lines": 0,        # line/paragraph rules are
+                                      # row-local array HOFs, map-only
+    "dedup_url_canonical": 1,         # ONE canonical_url window
+                                      # (min + count in the same pass)
+    "html_extract_boilerplate": 0,    # synthesize + mapInPandas
+                                      # parser, map-only
 }
 
 
