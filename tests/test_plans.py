@@ -228,6 +228,12 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # one row per calendar month —
                                           # grows with time span (~12/yr),
                                           # not with data volume
+        "cb",                             # trained PQ codebook (<= M*K =
+                                          # 32 rows at every Lloyd
+                                          # iteration — the k seed filter
+                                          # bounds it, and recentering
+                                          # can only shrink it;
+                                          # pq_trained)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

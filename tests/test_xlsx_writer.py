@@ -88,3 +88,46 @@ def test_failed_job_publishes_no_manifest(spark, tmp_path):
     # commit never ran: nothing was published even if some tasks
     # finished before the failure (abort removes their files)
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+
+def test_stream_writer_multi_batch_roundtrip(tmp_path):
+    """write_xlsx_stream must produce the same workbook whether rows
+    arrive as one batch or many (the executor path feeds one list per
+    Arrow batch), and the manifest-free stdlib reader must get every
+    row back in order."""
+    from etl_xlsx_potgres_spark.sources import xlsx_stdlib
+
+    rows = [[i, f"name-{i}", 2 * i + 1] for i in range(57)]
+    one = str(tmp_path / "one.xlsx")
+    many = str(tmp_path / "many.xlsx")
+    n1 = xlsx_stdlib.write_xlsx_stream(one, ["k", "name", "v"], [rows])
+    batches = [rows[i : i + 10] for i in range(0, len(rows), 10)]
+    n2 = xlsx_stdlib.write_xlsx_stream(many, ["k", "name", "v"], batches)
+    assert n1 == n2 == 57
+    h1, r1 = xlsx_stdlib.read_rows(one, 0)
+    h2, r2 = xlsx_stdlib.read_rows(many, 0)
+    assert h1 == h2 == ["k", "name", "v"]
+    assert r1 == r2 and len(r1) == 57
+
+
+def test_overwrite_removes_stale_manifest(spark, tmp_path):
+    """A successful overwrite deletes the PREVIOUS _MANIFEST.json up
+    front, so a failed new job can't leave a manifest listing deleted
+    workbooks (r14 ADVICE)."""
+    import pyspark.sql.functions as F
+
+    register_xlsx_source(spark)
+    out = str(tmp_path / "export_stale_manifest")
+    _df(spark, 5).coalesce(1).write.format("xlsx").mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    boom = _df(spark, 5).withColumn(
+        "v", F.expr("CASE WHEN v >= 0 THEN raise_error('boom') ELSE v END")
+    )
+    try:
+        boom.coalesce(1).write.format("xlsx").mode("overwrite").save(out)
+        raise AssertionError("job should have failed")
+    except Exception:
+        pass
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json")), (
+        "stale manifest survived a failed overwrite"
+    )
