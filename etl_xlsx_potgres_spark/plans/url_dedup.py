@@ -15,10 +15,14 @@ that must NOT collapse (distinct path = distinct page).  Variants
 0-2 of each entity canonicalize identically; variant 3 stays a
 singleton — the dedup is non-vacuous in both directions.
 
-Canonical form: ``lower(scheme)://lower(host)`` (parse_url's HOST
-already strips the port) + path + the query minus ``utm_*`` params
-(checked via exact ``substr`` — LIKE's ``_`` wildcard and regex
-escapes are engine-divergent).  Spark side is native ``parse_url``
+Canonical form: ``lower(scheme)://lower(authority)`` with the
+scheme-DEFAULT port stripped (:443/https, :80/http) but any OTHER
+port kept — :8080 is a different origin (parse_url's HOST would drop
+every port, so AUTHORITY is used) — + path + the query minus
+``utm_*`` params (checked via exact ``substr`` — LIKE's ``_``
+wildcard and regex escapes are engine-divergent); a query-less URL's
+NULL QUERY is coalesced so it can't NULL the whole concat
+(tests/test_url_canon_parity.py covers these edges).  Spark side is native ``parse_url``
 (JVM, map-only); the oracle re-derives each component with portable
 regexes over the identically synthesized string, so the pair
 attests the canonicalizer itself.
@@ -67,20 +71,48 @@ END
 
 _DUCK_URL = _SPARK_URL.replace("doc_id DIV 4", "doc_id // 4")
 
-# canonical = lower(scheme)://lower(host) + path + '?' + query sans utm_*
+# canonical = lower(scheme)://lower(authority with scheme-DEFAULT port
+# stripped — :8080 is a different origin and must survive) + path +
+# '?' + query sans utm_*.  parse_url QUERY is NULL on query-less URLs
+# (it would NULL the whole concat) — coalesced to ''.
 _SPARK_CANON = """
-lower(parse_url(url, 'PROTOCOL')) || '://' || lower(parse_url(url, 'HOST'))
+lower(parse_url(url, 'PROTOCOL')) || '://'
+|| CASE
+     WHEN lower(parse_url(url, 'PROTOCOL')) = 'https'
+          AND endswith(parse_url(url, 'AUTHORITY'), ':443')
+       THEN lower(substring(parse_url(url, 'AUTHORITY'), 1,
+                            length(parse_url(url, 'AUTHORITY')) - 4))
+     WHEN lower(parse_url(url, 'PROTOCOL')) = 'http'
+          AND endswith(parse_url(url, 'AUTHORITY'), ':80')
+       THEN lower(substring(parse_url(url, 'AUTHORITY'), 1,
+                            length(parse_url(url, 'AUTHORITY')) - 3))
+     ELSE lower(parse_url(url, 'AUTHORITY'))
+   END
 || parse_url(url, 'PATH')
-|| CASE WHEN array_join(filter(split(parse_url(url, 'QUERY'), '&'),
+|| CASE WHEN array_join(filter(split(coalesce(parse_url(url, 'QUERY'), ''),
+                                     '&'),
                                p -> substr(p, 1, 4) <> 'utm_'), '&') <> ''
-        THEN '?' || array_join(filter(split(parse_url(url, 'QUERY'), '&'),
+        THEN '?' || array_join(filter(split(coalesce(parse_url(url, 'QUERY'),
+                                                     ''), '&'),
                                       p -> substr(p, 1, 4) <> 'utm_'), '&')
         ELSE '' END
 """
 
 _DUCK_CANON = """
 lower(regexp_extract(url, '^([A-Za-z0-9+.-]+)://', 1)) || '://'
-|| lower(regexp_extract(url, '^[A-Za-z]+://([^/?#:]+)', 1))
+|| CASE
+     WHEN lower(regexp_extract(url, '^([A-Za-z0-9+.-]+)://', 1)) = 'https'
+          AND ends_with(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                        ':443')
+       THEN lower(substr(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), 1,
+                  len(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) - 4))
+     WHEN lower(regexp_extract(url, '^([A-Za-z0-9+.-]+)://', 1)) = 'http'
+          AND ends_with(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+                        ':80')
+       THEN lower(substr(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1), 1,
+                  len(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) - 3))
+     ELSE lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+   END
 || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
 || CASE WHEN array_to_string(list_filter(
          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
