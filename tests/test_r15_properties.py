@@ -239,3 +239,32 @@ def test_html_extractor_on_handwritten_html():
     assert out["link_chars"] == len("beta") + len("home page links") + len(
         "solo"
     )
+
+
+def test_html_extractor_survives_malformed_html():
+    """Real crawls are malformed: unclosed blocks, stray end tags,
+    anchors crossing block boundaries. html.parser recovers without
+    raising; the extractor must stay total (no exception, sane
+    accounting) even when the markup lies."""
+    import pandas as pd
+
+    from etl_xlsx_potgres_spark.plans.html_extract import _extract_batches
+
+    cases = [
+        "<p>unclosed block",                    # never closed -> no block emitted
+        "</p>stray close<p>ok</p>",
+        "<p>a <a href=x>b</p> c</a>",           # anchor crosses the close
+        "<nav><p>nested block</p></nav>",
+        "<p>&notanentity; &amp; fine</p>",
+        "",
+        "no markup at all",
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(cases))), "html": cases}
+    )
+    out = list(_extract_batches([pdf]))[0]
+    assert len(out) == len(cases)
+    for _, r in out.iterrows():
+        assert r["n_kept"] <= r["n_blocks"]
+        assert r["link_chars"] <= r["text_chars"]
+        assert r["extracted_chars"] == len(r["extracted_text"])
