@@ -268,3 +268,67 @@ def test_html_extractor_survives_malformed_html():
         assert r["n_kept"] <= r["n_blocks"]
         assert r["link_chars"] <= r["text_chars"]
         assert r["extracted_chars"] == len(r["extracted_text"])
+
+
+def test_pq_training_reduces_quantization_error(spark, tmp_path):
+    """The point of learned codebooks: on clusterable data, the
+    trained codebook's total quantization error must be strictly
+    below the seed codebook's (Lloyd's update minimizes within-cell
+    SSE; floor-to-micro rounding is 6 decimals below the gap)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from etl_xlsx_potgres_spark.plans.pq_search import _subvectors
+    from etl_xlsx_potgres_spark.plans.pq_trained import _train
+    from etl_xlsx_potgres_spark.plans.product_quantization import (
+        M,
+        PQ_K,
+        SUB_D,
+    )
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(20, 64)).astype(np.float32)
+    assign = rng.integers(0, 20, size=200)
+    vecs = (
+        cents[assign] + 0.05 * rng.normal(size=(200, 64))
+    ).astype(np.float32)
+    rows = [
+        Row(
+            vec_id=int(i),
+            embedding=[float(x) for x in v],
+            label=int(assign[i]),
+        )
+        for i, v in enumerate(vecs)
+    ]
+    sf = _write(spark, tmp_path, "embeddings", rows)
+    emb = load_table(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    subs = _subvectors(emb)
+
+    def total_err(cb_rows):
+        cb = {}
+        for r in cb_rows:
+            cb.setdefault(r["m"], []).append(
+                np.asarray(r["csub"], dtype=np.float64)
+            )
+        err = 0.0
+        for m in range(M):
+            sl = vecs[:, m * SUB_D:(m + 1) * SUB_D].astype(np.float64)
+            cents_m = np.stack(cb[m])
+            d2 = ((sl[:, None, :] - cents_m[None, :, :]) ** 2).sum(-1)
+            err += d2.min(axis=1).sum()
+        return err
+
+    seed_rows = (
+        subs.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("k"), F.col("sub").alias("csub"))
+        .collect()
+    )
+    trained_rows = _train(subs).collect()
+    e_seed, e_trained = total_err(seed_rows), total_err(trained_rows)
+    assert e_trained < e_seed * 0.9, (
+        f"training failed to reduce error: seed={e_seed:.2f}"
+        f" trained={e_trained:.2f}"
+    )
