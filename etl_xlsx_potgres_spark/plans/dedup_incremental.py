@@ -37,8 +37,11 @@ flips the counts.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,17 +53,51 @@ from .dedup_fuzzy import _minhash_sig_df
 
 N_BUCKETS = 8
 
+_STORE_PREFIX = "spark_graft_dedup_store_"
+# Siblings older than this are presumed crashed sessions (a live
+# concurrent session's store was written minutes ago, not a day).
+_STALE_SECONDS = 24 * 3600
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _sweep_stale_siblings(current_root: str) -> None:
+    """Remove sibling store dirs left by CRASHED sessions (atexit never
+    ran).  Only age-stale siblings are touched — a same-host concurrent
+    session's fresh store must survive, so appId-mismatch alone is not
+    grounds for deletion."""
+    parent = os.path.dirname(current_root)
+    now = time.time()
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    for e in entries:
+        p = os.path.join(parent, e)
+        if not e.startswith(_STORE_PREFIX) or p == current_root:
+            continue
+        try:
+            stale = now - os.path.getmtime(p) > _STALE_SECONDS
+        except OSError:
+            continue
+        if stale:
+            shutil.rmtree(p, ignore_errors=True)
+
 
 def _store_root(spark: SparkSession) -> str:
     """Per-session store root: two concurrent sessions on one host
     (parallel test/bench runs) must not drop/overwrite each other's
     external-table files mid-read, so key the directory on the Spark
     applicationId — unique per session, stable across repeated runs
-    within it (the provisioner is idempotent per SF)."""
+    within it (the provisioner is idempotent per SF).  First touch per
+    root registers an atexit rmtree (no /tmp leak per session) and
+    sweeps age-stale siblings from crashed sessions."""
     app = spark.sparkContext.applicationId.replace("-", "_")
-    return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_dedup_store_{app}"
-    )
+    root = os.path.join(tempfile.gettempdir(), f"{_STORE_PREFIX}{app}")
+    if root not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _sweep_stale_siblings(root)
+    return root
 
 
 def _bands(sig: DataFrame) -> DataFrame:

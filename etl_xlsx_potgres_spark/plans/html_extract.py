@@ -21,9 +21,13 @@ attribution) breaks the value hash.
 
 Block verdict: keep iff ``2 * link_chars <= text_chars`` (link
 density <= 0.5) — an exact INTEGER comparison, so the pair is
-bit-identical with no float thresholds.  Fixture tokens are
-alphanumeric (no ``&<>`` entities); the parser handles entities
-anyway via html.parser's defaults.
+bit-identical with no float thresholds.  Synthesis XML-escapes each
+token (``& < >`` → entities) and the parser's ``convert_charrefs``
+unescapes them back, so parsed text equals the RAW token text and
+the oracle's generative formula needs no markup awareness — a
+markup-bearing fixture round-trips instead of silently diverging
+(ADVICE r15; ``tests/test_html_extract_robust.py`` feeds markup
+tokens through both sides).
 
 Plan shape: map-only end to end — JVM expression synthesis, one
 Arrow-batched Python stage (the parser is genuinely Python work:
@@ -53,25 +57,37 @@ from .importance_sampling import _DUCK_TOKS, _SPARK_TOKS
 
 BLOCK_TOKENS = 10
 
+
+def _esc(expr: str) -> str:
+    """XML-escape a text expression before embedding it in synthesized
+    HTML (ADVICE r15): '&' first, then '<'/'>'.  The parser's
+    convert_charrefs unescapes these back, so parsed text equals the
+    RAW token text and the oracle's generative formula (over raw toks)
+    needs no change — a markup-bearing fixture can no longer make the
+    two sides silently diverge."""
+    return (
+        "replace(replace(replace(" + expr
+        + ", '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+
+
 _SPARK_BLOCK = f"""
 CASE WHEN i % 3 = 1 THEN
   '<nav><a href="/x">'
-  || array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 1, {BLOCK_TOKENS}), ' ')
+  || {_esc(f"array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 1, {BLOCK_TOKENS}), ' ')")}
   || '</a></nav>'
 WHEN i % 5 = 2 THEN
   '<p><a href="/y">'
-  || element_at(toks, CAST((i - 1) * {BLOCK_TOKENS} + 1 AS INT))
+  || {_esc(f"element_at(toks, CAST((i - 1) * {BLOCK_TOKENS} + 1 AS INT))")}
   || '</a>'
   || CASE WHEN size(slice(toks, (i - 1) * {BLOCK_TOKENS} + 2,
                           {BLOCK_TOKENS - 1})) > 0
-          THEN ' ' || array_join(
-            slice(toks, (i - 1) * {BLOCK_TOKENS} + 2, {BLOCK_TOKENS - 1}),
-            ' ')
+          THEN ' ' || {_esc(f"array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 2, {BLOCK_TOKENS - 1}), ' ')")}
           ELSE '' END
   || '</p>'
 ELSE
   '<p>'
-  || array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 1, {BLOCK_TOKENS}), ' ')
+  || {_esc(f"array_join(slice(toks, (i - 1) * {BLOCK_TOKENS} + 1, {BLOCK_TOKENS}), ' ')")}
   || '</p>'
 END
 """

@@ -9,20 +9,26 @@ The fixture carries no URL column, so each document synthesizes a
 deterministic DIRTY url (the ``fn_url_pack`` convention) exercising
 exactly the variations canonicalization must collapse: entity
 ``k = doc_id DIV 4`` appears as four variants — mixed-case host,
-``HTTPS`` + explicit ``:443`` + ``utm_source`` + ``#fragment``,
-reordered query with ``utm_campaign``, and an ``/amp`` path variant
-that must NOT collapse (distinct path = distinct page).  Variants
-0-2 of each entity canonicalize identically; variant 3 stays a
-singleton — the dedup is non-vacuous in both directions.
+``HTTPS`` + explicit ``:443`` + UPPERCASE ``UTM_source`` +
+``#fragment``, a genuinely reordered two-param query with
+``utm_campaign`` interleaved, and an ``/amp`` path variant that must
+NOT collapse (distinct path = distinct page).  Variants 0-2 of each
+entity canonicalize identically; variant 3 stays a singleton — the
+dedup is non-vacuous in both directions, and variants 1/2 each
+collapse ONLY because the utm check is case-folded and the surviving
+params are sorted (either fix alone leaves a variant uncollapsed).
 
 Canonical form: ``lower(scheme)://lower(authority)`` with the
 scheme-DEFAULT port stripped (:443/https, :80/http) but any OTHER
 port kept — :8080 is a different origin (parse_url's HOST would drop
 every port, so AUTHORITY is used) — + path + the query minus
-``utm_*`` params (checked via exact ``substr`` — LIKE's ``_``
-wildcard and regex escapes are engine-divergent); a query-less URL's
-NULL QUERY is coalesced so it can't NULL the whole concat
-(tests/test_url_canon_parity.py covers these edges).  Spark side is native ``parse_url``
+``utm_*`` params (checked via CASE-FOLDED ``lower(substr(...))`` —
+LIKE's ``_`` wildcard and regex escapes are engine-divergent, and
+``UTM_source=`` must strip like ``utm_source=``), the survivors
+SORTED (``array_sort``/``list_sort``, both binary-collation ASC on
+this ASCII fixture) so param order never splits a canonical group;
+a query-less URL's NULL QUERY is coalesced so it can't NULL the
+whole concat (tests/test_url_canon_parity.py covers these edges).  Spark side is native ``parse_url``
 (JVM, map-only); the oracle re-derives each component with portable
 regexes over the identically synthesized string, so the pair
 attests the canonicalizer itself.
@@ -55,14 +61,14 @@ _SPARK_URL = """
 CASE doc_id % 4
   WHEN 0 THEN 'https://News-' || CAST((doc_id DIV 4) % 4 AS STRING)
               || '.Example.com/article/' || CAST(doc_id DIV 4 AS STRING)
-              || '?id=' || CAST(doc_id DIV 4 AS STRING)
+              || '?id=' || CAST(doc_id DIV 4 AS STRING) || '&lang=en'
   WHEN 1 THEN 'HTTPS://news-' || CAST((doc_id DIV 4) % 4 AS STRING)
               || '.example.com:443/article/' || CAST(doc_id DIV 4 AS STRING)
               || '?id=' || CAST(doc_id DIV 4 AS STRING)
-              || '&utm_source=feed#frag'
+              || '&UTM_source=feed&lang=en#frag'
   WHEN 2 THEN 'https://news-' || CAST((doc_id DIV 4) % 4 AS STRING)
               || '.example.com/article/' || CAST(doc_id DIV 4 AS STRING)
-              || '?utm_campaign=x&id=' || CAST(doc_id DIV 4 AS STRING)
+              || '?lang=en&utm_campaign=x&id=' || CAST(doc_id DIV 4 AS STRING)
   ELSE 'https://news-' || CAST((doc_id DIV 4) % 4 AS STRING)
               || '.example.com/article/' || CAST(doc_id DIV 4 AS STRING)
               || '/amp?id=' || CAST(doc_id DIV 4 AS STRING)
@@ -89,12 +95,12 @@ lower(parse_url(url, 'PROTOCOL')) || '://'
      ELSE lower(parse_url(url, 'AUTHORITY'))
    END
 || parse_url(url, 'PATH')
-|| CASE WHEN array_join(filter(split(coalesce(parse_url(url, 'QUERY'), ''),
-                                     '&'),
-                               p -> substr(p, 1, 4) <> 'utm_'), '&') <> ''
-        THEN '?' || array_join(filter(split(coalesce(parse_url(url, 'QUERY'),
-                                                     ''), '&'),
-                                      p -> substr(p, 1, 4) <> 'utm_'), '&')
+|| CASE WHEN array_join(array_sort(filter(
+             split(coalesce(parse_url(url, 'QUERY'), ''), '&'),
+             p -> lower(substr(p, 1, 4)) <> 'utm_')), '&') <> ''
+        THEN '?' || array_join(array_sort(filter(
+             split(coalesce(parse_url(url, 'QUERY'), ''), '&'),
+             p -> lower(substr(p, 1, 4)) <> 'utm_')), '&')
         ELSE '' END
 """
 
@@ -114,12 +120,12 @@ lower(regexp_extract(url, '^([A-Za-z0-9+.-]+)://', 1)) || '://'
      ELSE lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
    END
 || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
-|| CASE WHEN array_to_string(list_filter(
+|| CASE WHEN array_to_string(list_sort(list_filter(
          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-         p -> substr(p, 1, 4) <> 'utm_'), '&') <> ''
-        THEN '?' || array_to_string(list_filter(
+         p -> lower(substr(p, 1, 4)) <> 'utm_')), '&') <> ''
+        THEN '?' || array_to_string(list_sort(list_filter(
          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
-         p -> substr(p, 1, 4) <> 'utm_'), '&')
+         p -> lower(substr(p, 1, 4)) <> 'utm_')), '&')
         ELSE '' END
 """
 

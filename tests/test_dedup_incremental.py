@@ -131,3 +131,47 @@ def test_store_append_absorbs_accepted_batch(spark, sf_dir):
     # leave a clean store for other tests/queries (provision
     # re-overwrites per run anyway, but don't depend on ordering)
     dedup_incremental._provision_store(spark, sf_dir)
+
+
+def test_store_root_registers_cleanup_and_sweeps_stale(spark, tmp_path,
+                                                       monkeypatch):
+    """The per-session store root must not leak across runs: first
+    touch registers an atexit rmtree for THIS session's dir and
+    removes age-stale sibling dirs (crashed sessions), while a fresh
+    sibling (live concurrent session) survives."""
+    import os
+    import time
+
+    monkeypatch.setattr(
+        dedup_incremental.tempfile, "gettempdir", lambda: str(tmp_path)
+    )
+    prefix = dedup_incremental._STORE_PREFIX
+    stale = tmp_path / f"{prefix}crashed_app"
+    fresh = tmp_path / f"{prefix}live_app"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - dedup_incremental._STALE_SECONDS - 60
+    os.utime(stale, (old, old))
+
+    registered = dict(seen=False)
+    monkeypatch.setattr(
+        dedup_incremental.atexit,
+        "register",
+        lambda fn, *a, **k: registered.__setitem__("seen", (fn, a, k)),
+    )
+    # force a fresh first-touch for this (monkeypatched) root
+    dedup_incremental._CLEANUP_REGISTERED.clear()
+    root = dedup_incremental._store_root(spark)
+    try:
+        assert root.startswith(str(tmp_path))
+        assert registered["seen"], "atexit cleanup must be registered"
+        fn, a, k = registered["seen"]
+        assert a and a[0] == root and k.get("ignore_errors")
+        assert not stale.exists(), "age-stale sibling must be swept"
+        assert fresh.exists(), "fresh sibling (live session) must survive"
+        # second touch is a no-op (no duplicate atexit entries)
+        registered["seen"] = False
+        assert dedup_incremental._store_root(spark) == root
+        assert registered["seen"] is False
+    finally:
+        dedup_incremental._CLEANUP_REGISTERED.clear()

@@ -28,6 +28,9 @@ _EDGE_URLS = [
     "https://x.com",                            # empty path, no query
     "https://x.com:443",                        # empty path + default port
     "https://x.com/a?id=1&utm_a=2&z=3",         # utm mid-query
+    "https://x.com/a?z=3&id=1",                 # reordered -> sorted
+    "https://x.com/a?UTM_Source=x&id=1",        # case-folded utm strip
+    "https://x.com/a?Z=3&a=1",                  # binary sort: 'Z' < 'a'
 ]
 
 
@@ -65,3 +68,6 @@ def test_spark_and_oracle_canonicalize_identically(spark):
     assert got["https://x.com/a?id=1&utm_a=2&z=3"] == (
         "https://x.com/a?id=1&z=3"
     )
+    assert got["https://x.com/a?z=3&id=1"] == "https://x.com/a?id=1&z=3"
+    assert got["https://x.com/a?UTM_Source=x&id=1"] == "https://x.com/a?id=1"
+    assert got["https://x.com/a?Z=3&a=1"] == "https://x.com/a?Z=3&a=1"
