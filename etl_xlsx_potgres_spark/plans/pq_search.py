@@ -172,12 +172,17 @@ def _adc_rerank(
     emb: DataFrame,
     subs: DataFrame,
     codebook: DataFrame,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The full ADC query path against an arbitrary (m, k, csub)
     codebook: encode the corpus, build per-query LUTs, ADC-scan,
     re-rank the shortlist exactly, and attach the recall-verifier hit
-    counts.  Shared by the seed-codebook query below and the
-    k-means-trained variant (``plans/pq_trained``)."""
+    counts.  Shared by the seed-codebook query below, the
+    k-means-trained variant (``plans/pq_trained``), and the IVF-PQ
+    composition (``plans/ivfpq_search``), which passes ``candidates``
+    — a (qid, vec_id) frame of PRUNED pairs (probed inverted lists
+    only): the ADC scan then joins codes to candidates BEFORE the LUT
+    lookup, so non-probed vectors never reach the distance sum."""
     # database codes: the encode-side argmin (one row per vector per
     # subspace; the corpus's raw floats end here)
     code_w = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
@@ -203,13 +208,23 @@ def _adc_rerank(
         )
     )
     # ADC scan: broadcast-join table lookups + map-side partial sums;
-    # no raw vectors move
-    adc = (
-        codes.join(F.broadcast(lut), ["m", "k"])
-        .where(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("lut_micro").cast("long").alias("adc_micro"))
-    )
+    # no raw vectors move.  With a candidates frame the list filter
+    # sits BELOW the LUT join: codes join candidates (vec_id) first,
+    # then the (qid, m, k) lookup touches only surviving pairs.
+    if candidates is not None:
+        adc = (
+            codes.join(candidates, "vec_id")
+            .join(F.broadcast(lut), ["qid", "m", "k"])
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("lut_micro").cast("long").alias("adc_micro"))
+        )
+    else:
+        adc = (
+            codes.join(F.broadcast(lut), ["m", "k"])
+            .where(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("lut_micro").cast("long").alias("adc_micro"))
+        )
     sl_w = Window.partitionBy("qid").orderBy("adc_micro", "vec_id")
     shortlist = (
         adc.withColumn("rn", F.row_number().over(sl_w))

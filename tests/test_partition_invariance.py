@@ -124,6 +124,10 @@ NAMES = [
     # r15: URL dedup — min/count window over the canonical key must
     # not depend on which partition sees a group first
     "dedup_url_canonical",
+    # r16: IVF-PQ — coarse min(struct) list assignment + pruned ADC
+    # sums; the claim is that the candidate sets (and so every rank
+    # decision downstream) are width-independent
+    "ann_ivfpq_search",
 ]
 
 

@@ -234,6 +234,13 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # bounds it, and recentering
                                           # can only shrink it;
                                           # pq_trained)
+        "probes",                         # IVF probe set (<= NQ * N_PROBE
+                                          # = 40 rows by the query filter
+                                          # and the prn <= N_PROBE window,
+                                          # data-size-free; ivfpq_search)
+        "counts",                         # per-query candidate counts
+                                          # (<= NQ = 10 rows,
+                                          # ivfpq_search)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

@@ -216,6 +216,14 @@ BUDGETS = {
                                       # (min + count in the same pass)
     "html_extract_boilerplate": 0,    # synthesize + mapInPandas
                                       # parser, map-only
+    # r16 additions
+    "ann_ivfpq_search": 21,           # the ann_pq_trained search DAG
+                                      # (16) + coarse list assignment
+                                      # (one vec_id agg), the codes x
+                                      # candidates shuffle join, and
+                                      # n_candidates rollup plumbing;
+                                      # cells/probes/counts are
+                                      # constant-size broadcasts
 }
 
 
