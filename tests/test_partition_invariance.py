@@ -128,6 +128,9 @@ NAMES = [
     # sums; the claim is that the candidate sets (and so every rank
     # decision downstream) are width-independent
     "ann_ivfpq_search",
+    # r16: domain calibration — per-domain cumulative bin sums and
+    # exact rate fractions must not move with partitioning
+    "quality_domain_calibrated",
 ]
 
 

@@ -224,6 +224,11 @@ BUDGETS = {
                                       # n_candidates rollup plumbing;
                                       # cells/probes/counts are
                                       # constant-size broadcasts
+    "quality_domain_calibrated": 9,   # the NB scorer's featurize/fit
+                                      # shuffles + ONE (domain, bin)
+                                      # corpus histogram; band windows
+                                      # and the rollup run on the
+                                      # constant-size hist frame
 }
 
 
