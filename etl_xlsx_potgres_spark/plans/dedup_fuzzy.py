@@ -194,19 +194,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_simhash_signatures",
-    oracle=f"""
-    SELECT doc_id, {sql_simhash_expr("text")} AS simhash,
-           substring({sql_simhash_expr("text")}, 1, 8) AS band0
-    FROM documents
-    """,
-)
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # explode tokens -> one md5 per token -> 32 map-side-partial ±1
-    # sums -> groupBy doc -> bit string. Same scale shape as MinHash:
-    # the shuffle carries (doc_id, 32 small ints).
-    d = load_table(spark, sf_dir, "documents")
+def _simhash_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash as a bit string.  Explode
+    tokens -> one md5 per token -> 32 map-side-partial ±1 sums ->
+    groupBy doc -> bit string. Same scale shape as MinHash: the
+    shuffle carries (doc_id, 32 small ints).  Shared by the batch
+    signature query below and the incremental store variant
+    (``plans/dedup_incremental_more``)."""
     exploded = (
         d.select(
             "doc_id",
@@ -233,8 +227,23 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(32)
         ]
     )
-    return per_doc.select(
-        "doc_id", bits.alias("simhash"), F.substring(bits, 1, 8).alias("band0")
+    return per_doc.select("doc_id", bits.alias("simhash"))
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    SELECT doc_id, {sql_simhash_expr("text")} AS simhash,
+           substring({sql_simhash_expr("text")}, 1, 8) AS band0
+    FROM documents
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return _simhash_df(d).select(
+        "doc_id",
+        "simhash",
+        F.substring("simhash", 1, 8).alias("band0"),
     )
 
 

@@ -229,6 +229,14 @@ BUDGETS = {
                                       # corpus histogram; band windows
                                       # and the rollup run on the
                                       # constant-size hist frame
+    "dedup_incremental_simhash": 4,   # batch signature agg + probe
+                                      # shuffle into the store's
+                                      # bucketing + candidate distinct
+                                      # /rollup; history side is
+                                      # Exchange-free (plan-asserted)
+    "dedup_incremental_ngram": 5,     # batch shingle window + size
+                                      # join + probe shuffle + pair
+                                      # agg; history side Exchange-free
 }
 
 
