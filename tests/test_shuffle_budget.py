@@ -237,6 +237,11 @@ BUDGETS = {
     "dedup_incremental_ngram": 5,     # batch shingle window + size
                                       # join + probe shuffle + pair
                                       # agg; history side Exchange-free
+    "quality_gopher_composite": 0,    # the full rule set as row-local
+                                      # array HOFs (top-bigram
+                                      # multiplicity computed in-row,
+                                      # not via a (doc,bigram) agg) —
+                                      # map-only by contract
 }
 
 
