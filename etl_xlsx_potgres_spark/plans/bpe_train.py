@@ -81,10 +81,9 @@ def _duck_round(k: int) -> str:
     )"""
 
 
-@register(
-    "text_bpe_merge_rounds",
-    oracle=f"""
-    WITH words AS (
+# the training CTE prologue (words -> w0 -> per-round p{k}/t{k}/w{k})
+# — shared with the token-budget chunkers (``plans/chunk_token_budget``)
+_TRAIN_CTES = f"""words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
       GROUP BY word
@@ -96,24 +95,25 @@ def _duck_round(k: int) -> str:
                i -> substring(word, i, 1)), ' ') AS repr
       FROM words
     ),
-    {",".join(_duck_round(k) for k in range(1, N_MERGE_ROUNDS + 1))}
-    SELECT round, pair, merged, pair_count FROM (
-      {" UNION ALL ".join(
-          f"SELECT {k} AS round, pair, merged, c AS pair_count FROM t{k}"
-          for k in range(1, N_MERGE_ROUNDS + 1)
-      )}
-    )
-    ORDER BY round
-    """,
-)
-def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    {",".join(_duck_round(k) for k in range(1, N_MERGE_ROUNDS + 1))}"""
+
+
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus shuffle: (word, cnt) — persisted because every
+    training round (and any downstream consumer) re-reads it."""
     d = load_table(spark, sf_dir, "documents")
-    words = scoped_persist(
+    return scoped_persist(
         d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # the one corpus shuffle; every round below is vocab-sized
     )
+
+
+def _merge_rounds(words: DataFrame) -> list[DataFrame]:
+    """N_MERGE_ROUNDS Lloyd-style unrolled BPE rounds over the word
+    frequency frame; returns the per-round 1-row winner frames
+    (pair, merged, c).  Shared by the training query below and the
+    token-budget chunkers (``plans/chunk_token_budget``)."""
     w = words.select(
         "word",
         "cnt",
@@ -151,14 +151,7 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "c",
             )
         )
-        rounds.append(
-            top.select(
-                F.lit(k).alias("round"),
-                "pair",
-                "merged",
-                F.col("c").alias("pair_count"),
-            )
-        )
+        rounds.append(top)
         w = w.crossJoin(F.broadcast(top)).select(
             "word",
             "cnt",
@@ -170,7 +163,31 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("repr"),
         )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
+    return rounds
+
+
+@register(
+    "text_bpe_merge_rounds",
+    oracle=f"""
+    WITH {_TRAIN_CTES}
+    SELECT round, pair, merged, pair_count FROM (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS round, pair, merged, c AS pair_count FROM t{k}"
+          for k in range(1, N_MERGE_ROUNDS + 1)
+      )}
+    )
+    ORDER BY round
+    """,
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tops = _merge_rounds(_word_counts(spark, sf_dir))
+    out = None
+    for k, top in enumerate(tops, start=1):
+        row = top.select(
+            F.lit(k).alias("round"),
+            "pair",
+            "merged",
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
     return out.orderBy("round")

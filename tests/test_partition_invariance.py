@@ -131,6 +131,10 @@ NAMES = [
     # r16: domain calibration — per-domain cumulative bin sums and
     # exact rate fractions must not move with partitioning
     "quality_domain_calibrated",
+    # r16: token-budget chunking — trained-merge winners (total-order
+    # top-1 per round) feed row-local prefix sums; a width-dependent
+    # winner would cascade into every chunk boundary
+    "text_chunk_token_budget",
 ]
 
 

@@ -48,6 +48,10 @@ ARROW_PYTHON_OK = {
     "html_extract_boilerplate",        # stdlib html.parser boilerplate
                                        # strip — genuine Python work,
                                        # Arrow-batched, map-only
+    "text_chunk_token_budget_udtf",    # Arrow UDTF twin of the JVM
+                                       # token-budget chunker (shared
+                                       # oracle pins them); map-side
+                                       # fan-out only
 }
 
 _ARROW_NODES = (

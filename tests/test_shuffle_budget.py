@@ -242,6 +242,13 @@ BUDGETS = {
                                       # multiplicity computed in-row,
                                       # not via a (doc,bigram) agg) —
                                       # map-only by contract
+    "text_chunk_token_budget": 8,     # BPE training's word-count
+                                      # shuffle + per-round vocab-sized
+                                      # pair aggs/top-1 plumbing;
+                                      # costing + chunking are map-only
+                                      # (1-row merge broadcasts)
+    "text_chunk_token_budget_udtf": 8,  # same training subtree; the
+                                        # UDTF lateral join is map-side
 }
 
 
