@@ -1,14 +1,27 @@
-"""Incremental-store variants for the SimHash and n-gram Jaccard
-dedup families — completing the production posture
-``dedup_incremental_newbatch`` established for MinHash (VERDICT r15
-task 4): EVERY fuzzy-dedup family now has a batch path whose history
-side is a bucketed signature store read with NO Exchange — the
-100-TB history shuffle is paid once at write time, each new ingest
-batch shuffles only itself into the store's bucketing.
+"""Incremental-store variants for the exact, SimHash, n-gram
+Jaccard, and semantic dedup families — completing the production
+posture ``dedup_incremental_newbatch`` established for MinHash
+(VERDICT r15 task 4): EVERY dedup family now has a batch path whose
+history side is a bucketed signature store read with NO Exchange —
+the 100-TB history shuffle is paid once at write time, each new
+ingest batch shuffles only itself into the store's bucketing.
 
-Two stores, same lifecycle as the MinHash band store (shared
+Four stores, same lifecycle as the MinHash band store (shared
 ``_store_root``: per-session dir, atexit cleanup, stale-sibling
 sweep):
+
+- Exact: history rows ``(doc_id, fp)`` — the ``dedup_exact_documents``
+  md5-of-normalized-text fingerprint, bucketed on ``fp``: the
+  cheapest tier, a pure key-probe (the verdict needs no verify
+  stage).
+- Semantic (SemDeDup-style): history rows ``(vec_id, cid,
+  embedding)`` bucketed on the k-means cell id — a new vector
+  assigns to its nearest centroid (``min(struct)`` argmax-cosine,
+  map-side partials) and compares exact cosines ONLY within its
+  cell's history list (cosine >= {COS_T}, the fixture-calibrated
+  ``dedup_embedding_neardup`` threshold); at production scale the
+  cells are SemDeDup's K lists and the store scan per batch touches
+  only probed buckets.
 
 - SimHash: history rows ``(doc_id, simhash, band)`` where ``band``
   fuses the band id into one 16-byte key —
@@ -47,15 +60,22 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import shingles_long, sql_simhash_expr
+from ..operators.text import (
+    fingerprint,
+    shingles_long,
+    sql_simhash_expr,
+)
 from ..registry import register
 from ..sources import load_table
-from .dedup_fuzzy import _DUCK_SHINGLES, _simhash_df
+from .dedup_fuzzy import _DUCK_SHINGLES, _NORM, _simhash_df
 from .dedup_incremental import N_BUCKETS, _store_root
+from .similarity import _dot, _duck_cos, _norm
 
 HAM_T = 4          # max Hamming distance for a simhash near-dup
 JACCARD_T = 0.05   # the dedup_ngram_jaccard threshold
 SIM_BANDS = 4      # 4 bands x 8 bits over the 32-bit signature
+SEM_CELLS = 16     # k-means cells of the semantic store
+COS_T = 0.4        # the dedup_embedding_neardup fixture threshold
 
 
 def _provision(
@@ -304,6 +324,234 @@ def dedup_incremental_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per, per["new_id"] == F.col("doc_id"), "left")
         .select(
             "doc_id",
+            F.coalesce(F.col("n_hist_candidates"), F.lit(0)).alias(
+                "n_hist_candidates"
+            ),
+            nd.alias("n_hist_neardups"),
+            (nd == 0).alias("keep"),
+        )
+    )
+
+
+# --- Exact -----------------------------------------------------------
+#
+# The fixture corpus has NO exact duplicates across the 90/10 split
+# (every normalized text is unique), so the new batch deterministically
+# simulates RE-CRAWLS — the exact-dup event this tier exists for: a
+# new doc with ``doc_id % 20 = 0`` presents the text of ``doc_id + 1``
+# (a history doc), the rest keep their own text.  Both engines
+# synthesize the batch identically, so the verdict fires both ways and
+# stays an exact oracle pair.
+
+_EXACT_ORACLE = f"""
+WITH hist AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+newbatch AS (
+  SELECT d.doc_id, h.text
+  FROM (SELECT doc_id,
+               doc_id + CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END
+                 AS src_id
+        FROM documents WHERE doc_id % 10 = 0) d
+  JOIN documents h ON h.doc_id = d.src_id
+),
+newd AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM newbatch
+),
+per AS (
+  SELECT n.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hist_copies
+  FROM newd n JOIN hist h ON h.fp = n.fp
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_hist_copies, 0) AS n_hist_copies,
+       COALESCE(per.n_hist_copies, 0) = 0 AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+def _provision_exact_store(spark: SparkSession, sf_dir: str) -> str:
+    hist = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    frame = hist.select("doc_id", fingerprint("text").alias("fp"))
+    return _provision(spark, sf_dir, "exact_fp", frame, "fp")
+
+
+def _recrawl_batch(d: DataFrame) -> DataFrame:
+    """(doc_id, text): the synthesized new batch — every 2nd new doc
+    re-presents its successor history doc's text."""
+    ids = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            + F.when(F.col("doc_id") % 20 == 0, 1).otherwise(0)
+        ).alias("src_id"),
+    )
+    src = d.select(F.col("doc_id").alias("src_id"), "text")
+    return ids.join(src, "src_id").select("doc_id", "text")
+
+
+@register("dedup_incremental_exact", oracle=_EXACT_ORACLE)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _provision_exact_store(spark, sf_dir)
+    hist = spark.table(store).select(
+        F.col("doc_id").alias("hist_id"), "fp"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    newd = _recrawl_batch(d)
+    new_fp = newd.select("doc_id", fingerprint("text").alias("fp"))
+    per = (
+        new_fp.join(hist, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hist_copies"))
+    )
+    n = F.coalesce(F.col("n_hist_copies"), F.lit(0))
+    return (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_hist_copies"),
+            (n == 0).alias("keep"),
+        )
+    )
+
+
+# --- Semantic (SemDeDup-style in-cell compare) ------------------------
+
+_SEM_ORACLE = f"""
+WITH hvecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0
+),
+nvecs AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 10 = 0
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM hvecs
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_CELLS}
+),
+hassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
+    FROM hvecs v CROSS JOIN cents c) WHERE arn = 1
+),
+nassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT v.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
+    FROM nvecs v CROSS JOIN cents c) WHERE arn = 1
+),
+per AS (
+  SELECT n.vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hist_candidates,
+         CAST(SUM(CASE WHEN {_duck_cos("n.embedding", "h.embedding")}
+                       >= {COS_T} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hist_neardups
+  FROM nassign n JOIN hassign h ON h.cid = n.cid
+  GROUP BY 1
+)
+SELECT d.vec_id,
+       COALESCE(per.n_hist_candidates, 0) AS n_hist_candidates,
+       COALESCE(per.n_hist_neardups, 0) AS n_hist_neardups,
+       COALESCE(per.n_hist_neardups, 0) = 0 AS keep
+FROM (SELECT vec_id FROM embeddings
+      WHERE embedding IS NOT NULL AND vec_id % 10 = 0) d
+LEFT JOIN per ON per.vec_id = d.vec_id
+"""
+
+
+def _sem_cents(hist: DataFrame) -> DataFrame:
+    return (
+        hist.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEM_CELLS)
+        .select(F.col("cid"), F.col("embedding").alias("cv"))
+        if "cid" in hist.columns
+        else hist.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(SEM_CELLS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+
+
+def _sem_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid): nearest-centroid by cosine with
+    (cos DESC, cid) tie-break as a min(struct) — map-side partials,
+    no window shuffle (negated cosine flips DESC to the struct min)."""
+    cos = _dot(F.col("embedding"), F.col("cv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cv"))
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct((-cos).alias("nc"), F.col("cid").alias("cid")).alias(
+                "sc"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min("sc").alias("mc"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", F.col("mc.cid").alias("cid"))
+    )
+
+
+def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
+    hist = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.col("vec_id") % 10 != 0)
+    ).select("vec_id", "embedding")
+    cents = _sem_cents(hist)
+    return _provision(
+        spark, sf_dir, "semantic_cell", _sem_assign(hist, cents), "cid"
+    )
+
+
+@register("dedup_incremental_semantic", oracle=_SEM_ORACLE)
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _provision_semantic_store(spark, sf_dir)
+    hist = spark.table(store).select(
+        F.col("vec_id").alias("hist_id"),
+        F.col("embedding").alias("hemb"),
+        "cid",
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    newv = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    # the SAME deterministic centroid pick the store was built with
+    nassign = _sem_assign(newv, _sem_cents(hist_src))
+    cos = _dot(F.col("embedding"), F.col("hemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("hemb"))
+    )
+    per = (
+        nassign.join(hist, "cid")
+        .select("vec_id", (cos >= COS_T).cast("int").alias("is_dup"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hist_candidates"),
+            F.sum("is_dup").cast("long").alias("n_hist_neardups"),
+        )
+    )
+    nd = F.coalesce(F.col("n_hist_neardups"), F.lit(0))
+    return (
+        newv.select("vec_id")
+        .join(per, "vec_id", "left")
+        .select(
+            "vec_id",
             F.coalesce(F.col("n_hist_candidates"), F.lit(0)).alias(
                 "n_hist_candidates"
             ),

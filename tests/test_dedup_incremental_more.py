@@ -85,3 +85,51 @@ def test_verdicts_fire_both_ways(spark, sf_dir):
             assert r["n_hist_neardups"] <= r["n_hist_candidates"], name
         assert any(not r["keep"] for r in rows), f"{name}: no collisions"
         assert any(r["keep"] for r in rows), f"{name}: everything collided"
+
+
+def test_exact_history_probe_is_exchange_free(spark, sf_dir):
+    store = more._provision_exact_store(spark, sf_dir)
+    hist = spark.table(store)
+    from etl_xlsx_potgres_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    new_fp = more._recrawl_batch(d).select(
+        F.col("doc_id").alias("new_id"), fingerprint("text").alias("fp")
+    )
+    joined = hist.hint("merge").join(new_fp, "fp")
+    _assert_history_branch_exchange_free(_plan_str(joined), "exact_fp")
+
+
+def test_semantic_history_probe_is_exchange_free(spark, sf_dir):
+    store = more._provision_semantic_store(spark, sf_dir)
+    hist = spark.table(store)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    newv = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    nassign = more._sem_assign(newv, more._sem_cents(hist_src)).select(
+        F.col("vec_id").alias("new_id"), "cid"
+    )
+    joined = hist.hint("merge").join(nassign, "cid")
+    _assert_history_branch_exchange_free(_plan_str(joined), "semantic_cell")
+
+
+def test_exact_and_semantic_verdicts_fire_both_ways(spark, sf_dir):
+    from etl_xlsx_potgres_spark import registry
+
+    registry.load_all()
+    for name, nd_col in (
+        ("dedup_incremental_exact", "n_hist_copies"),
+        ("dedup_incremental_semantic", "n_hist_neardups"),
+    ):
+        rows = registry.QUERIES[name](spark, sf_dir).collect()
+        assert rows, name
+        for r in rows:
+            assert r["keep"] == (r[nd_col] == 0), name
+        assert any(not r["keep"] for r in rows), f"{name}: no collisions"
+        assert any(r["keep"] for r in rows), f"{name}: everything collided"

@@ -241,6 +241,14 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
         "counts",                         # per-query candidate counts
                                           # (<= NQ = 10 rows,
                                           # ivfpq_search)
+        "cur",                            # one BPE round's 1-row winner
+                                          # (pair, merged) pair — the
+                                          # bpe_train top-1 contract
+                                          # (chunk_token_budget)
+        "_merges_row",                    # the crossJoin of the N 1-row
+                                          # winners: exactly ONE row with
+                                          # 2*N_MERGE_ROUNDS string cols
+                                          # (chunk_token_budget)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

@@ -249,6 +249,14 @@ BUDGETS = {
                                       # (1-row merge broadcasts)
     "text_chunk_token_budget_udtf": 8,  # same training subtree; the
                                         # UDTF lateral join is map-side
+    "dedup_incremental_exact": 3,     # re-crawl synthesis join + probe
+                                      # shuffle into the store bucketing
+                                      # + per-doc rollup; history side
+                                      # Exchange-free (plan-asserted)
+    "dedup_incremental_semantic": 3,  # batch argmax-cosine assignment
+                                      # agg + probe shuffle + verdict
+                                      # rollup; cents broadcast,
+                                      # history side Exchange-free
 }
 
 
