@@ -25,14 +25,14 @@ sweep):
 
 - SimHash: history rows ``(doc_id, simhash, band)`` where ``band``
   fuses the band id into one 16-byte key —
-  ``unhex(md5(i || ':' || substr(simhash, 8i+1, 8)))`` for the 4
-  8-bit bands of the 32-bit signature (the classic Charikar banding:
-  Hamming distance <= 4 implies at least one of 4 bands is intact
-  only probabilistically, but a band COLLISION is the standard cheap
-  candidate filter).  Candidates are then verified with the exact
-  Hamming distance (<= {HAM_T}) — the two-stage shape every simhash
-  deployment runs, here with the verify stage on candidate pairs
-  only.
+  ``unhex(md5(i || ':' || substr(simhash, 16i+1, 16)))`` for the 4
+  16-bit bands of a 64-BIT signature (Manku et al. 2007's geometry;
+  the batch queries' 32-bit/8-bit fixture signature has only 256
+  keys per band and went quadratic in the r16 scale probe — see the
+  section comment).  Band collisions are the cheap candidate filter;
+  candidates are then verified with the exact Hamming distance
+  (<= {HAM_T} of 64) — the two-stage shape every simhash deployment
+  runs, with the verify stage on candidate pairs only.
 - n-gram Jaccard: history rows ``(doc_id, n, key)`` — one row per
   DISTINCT 3-token shingle, ``key = unhex(md5(shingle))`` (16-byte
   binary join keys: md5/unhex fold identically on both engines, so
@@ -57,24 +57,23 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import (
-    fingerprint,
-    shingles_long,
-    sql_simhash_expr,
-)
+from ..operators.text import fingerprint, shingles_long
 from ..registry import register
 from ..sources import load_table
-from .dedup_fuzzy import _DUCK_SHINGLES, _NORM, _simhash_df
+from .dedup_fuzzy import _DUCK_SHINGLES, _NORM
 from .dedup_incremental import N_BUCKETS, _store_root
 from .similarity import _dot, _duck_cos, _norm
 
-HAM_T = 4          # max Hamming distance for a simhash near-dup
+HAM_T = 8          # max Hamming distance (of 64) for a simhash near-dup
 JACCARD_T = 0.05   # the dedup_ngram_jaccard threshold
-SIM_BANDS = 4      # 4 bands x 8 bits over the 32-bit signature
-SEM_CELLS = 16     # k-means cells of the semantic store
+SIM_BITS = 64      # Manku et al. 2007: 64-bit fingerprints
+SIM_BANDS = 4      # 4 bands x 16 bits — 65536-key band space
+SIM_BAND_W = SIM_BITS // SIM_BANDS
+SEM_MIN_CELLS = 16     # floor of the scaled cell count
+SEM_CELL_SIZE = 64     # target history vectors per cell (cells ~ N/64)
 COS_T = 0.4        # the dedup_embedding_neardup fixture threshold
 
 
@@ -100,6 +99,77 @@ def _provision(
 
 
 # --- SimHash ---------------------------------------------------------
+#
+# 64-bit fingerprints with 4 x 16-bit bands — the Manku et al. 2007
+# near-duplicate detection geometry.  The batch queries' 32-bit/8-bit
+# fixture signature is NOT scale-safe here: an 8-bit band has only 256
+# possible keys, so at N docs every bucket holds ~N/256 entries and
+# the candidate verify stage goes quadratic (measured 14x wall at 10x
+# data in the r16 probe).  16-bit bands give 65536 keys per band —
+# bucket occupancy, and so candidate volume, drops 256x and tracks the
+# corpus's true near-dup density.  md5 yields 32 hex chars, so bits
+# 32-63 come from a second independent hash md5('2:' || t).
+
+
+def _simhash64_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash as a bit string (two md5
+    families, 64 map-side-partial ±1 sums, one doc_id shuffle)."""
+    exploded = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "doc_id",
+            F.md5("t").alias("h1"),
+            F.md5(F.concat(F.lit("2:"), F.col("t"))).alias("h2"),
+        )
+    )
+    sums = [
+        F.sum(
+            F.when(
+                F.substring(
+                    "h1" if j < 32 else "h2", (j % 32) + 1, 1
+                ).isin(*"89abcdef"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIM_BITS)
+    ]
+    per_doc = d.select("doc_id").join(
+        exploded.groupBy("doc_id").agg(*sums), "doc_id", "left"
+    )
+    bits = F.concat(
+        *[
+            F.when(
+                F.coalesce(F.col(f"b{j}"), F.lit(0)) > 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for j in range(SIM_BITS)
+        ]
+    )
+    return per_doc.select("doc_id", bits.alias("simhash"))
+
+
+def _sql_simhash64(text_expr: str) -> str:
+    """DuckDB twin of :func:`_simhash64_df`."""
+    toks = (
+        f"list_filter(string_split_regex(trim(lower({text_expr})),"
+        f" '\\s+'), x -> x <> '')"
+    )
+    parts = []
+    for j in range(SIM_BITS):
+        src = "md5(t)" if j < 32 else "md5('2:' || t)"
+        contrib = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN "
+            f"substring({src}, {(j % 32) + 1}, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        parts.append(
+            f"CASE WHEN COALESCE({contrib}, 0) > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(parts)
+
 
 def _sim_bands(sig: DataFrame) -> DataFrame:
     """(doc_id, simhash, band): the 4 fused 16-byte band keys."""
@@ -109,7 +179,7 @@ def _sim_bands(sig: DataFrame) -> DataFrame:
                 F.md5(
                     F.concat(
                         F.lit(f"{i}:"),
-                        F.substring("simhash", 8 * i + 1, 8),
+                        F.substring("simhash", SIM_BAND_W * i + 1, SIM_BAND_W),
                     )
                 )
             )
@@ -120,30 +190,30 @@ def _sim_bands(sig: DataFrame) -> DataFrame:
 
 
 _SIM_HAMMING_DUCK = (
-    "len(list_filter(generate_series(1, 32),"
+    f"len(list_filter(generate_series(1, {SIM_BITS}),"
     " i -> substr(nsig, i, 1) <> substr(hsig, i, 1)))"
 )
 
 _SIM_ORACLE = f"""
 WITH hist AS (
-  SELECT doc_id, {sql_simhash_expr("text")} AS sig FROM documents
+  SELECT doc_id, {_sql_simhash64("text")} AS sig FROM documents
   WHERE doc_id % 10 <> 0
 ),
 newd AS (
-  SELECT doc_id, {sql_simhash_expr("text")} AS sig FROM documents
+  SELECT doc_id, {_sql_simhash64("text")} AS sig FROM documents
   WHERE doc_id % 10 = 0
 ),
 g AS (SELECT unnest(generate_series(0, {SIM_BANDS - 1})) AS i),
 hb AS (
   SELECT doc_id, sig,
-         unhex(md5(CAST(i AS VARCHAR) || ':' || substr(sig, i * 8 + 1, 8)))
-           AS band
+         unhex(md5(CAST(i AS VARCHAR) || ':'
+               || substr(sig, i * {SIM_BAND_W} + 1, {SIM_BAND_W}))) AS band
   FROM hist, g
 ),
 nb AS (
   SELECT doc_id, sig,
-         unhex(md5(CAST(i AS VARCHAR) || ':' || substr(sig, i * 8 + 1, 8)))
-           AS band
+         unhex(md5(CAST(i AS VARCHAR) || ':'
+               || substr(sig, i * {SIM_BAND_W} + 1, {SIM_BAND_W}))) AS band
   FROM newd, g
 ),
 cand AS (
@@ -167,7 +237,7 @@ LEFT JOIN per ON per.new_id = d.doc_id
 """
 
 _SIM_HAMMING_SPARK = (
-    "size(filter(sequence(1, 32),"
+    "size(filter(sequence(1, 64),"
     " i -> substring(nsig, i, 1) <> substring(hsig, i, 1)))"
 )
 
@@ -177,7 +247,7 @@ def _provision_simhash_store(spark: SparkSession, sf_dir: str) -> str:
         F.col("doc_id") % 10 != 0
     )
     return _provision(
-        spark, sf_dir, "simhash_band", _sim_bands(_simhash_df(hist)), "band"
+        spark, sf_dir, "simhash_band", _sim_bands(_simhash64_df(hist)), "band"
     )
 
 
@@ -191,7 +261,7 @@ def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     newd = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
-    new_bands = _sim_bands(_simhash_df(newd)).select(
+    new_bands = _sim_bands(_simhash64_df(newd)).select(
         F.col("doc_id").alias("new_id"), F.col("simhash").alias("nsig"),
         "band",
     )
@@ -432,8 +502,13 @@ nvecs AS (
   WHERE embedding IS NOT NULL AND vec_id % 10 = 0
 ),
 cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM hvecs
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {SEM_CELLS}
+  SELECT cid, cv FROM (
+    SELECT vec_id AS cid, embedding AS cv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) AS rk,
+           COUNT(*) OVER () AS n
+    FROM hvecs)
+  WHERE rk <= greatest({SEM_MIN_CELLS}, n // {SEM_CELL_SIZE})
 ),
 hassign AS (
   SELECT vec_id, embedding, cid FROM (
@@ -469,26 +544,49 @@ LEFT JOIN per ON per.vec_id = d.vec_id
 
 
 def _sem_cents(hist: DataFrame) -> DataFrame:
+    """Deterministic hash-ordered centroid seeds, count SCALED with
+    the history (~{SEM_CELL_SIZE} vectors per cell): a fixed cell
+    count makes in-cell candidate pairs quadratic in N — the r16
+    probe measured 16.6x wall at 10x data with 16 fixed cells, vs
+    near-linear once cells track N.  This mirrors SemDeDup's K
+    scaling; the global row_number seed rank is fixture-scale
+    machinery — production seeds come from sampled k-means and the
+    two-level assignment of ``plans/semantic_dedup``."""
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
     return (
-        hist.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(SEM_CELLS)
-        .select(F.col("cid"), F.col("embedding").alias("cv"))
-        if "cid" in hist.columns
-        else hist.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(SEM_CELLS)
+        hist.select(
+            "vec_id",
+            "embedding",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.lit(1))
+            ).alias("n"),
+        )
+        .filter(
+            F.col("rk")
+            <= F.greatest(
+                F.lit(SEM_MIN_CELLS), F.expr(f"n DIV {SEM_CELL_SIZE}")
+            )
+        )
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
 
 
-def _sem_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _sem_assign(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame, cents: DataFrame
+) -> DataFrame:
     """(vec_id, embedding, cid): nearest-centroid by cosine with
     (cos DESC, cid) tie-break as a min(struct) — map-side partials,
-    no window shuffle (negated cosine flips DESC to the struct min)."""
+    no window shuffle (negated cosine flips DESC to the struct min).
+    The centroid frame SCALES with history (cells ~ N/{SEM_CELL_SIZE}),
+    so its broadcast is size-gated, not hard-coded."""
+    from .dedup_fuzzy import _size_aware_broadcast
+
     cos = _dot(F.col("embedding"), F.col("cv")) / (
         _norm(F.col("embedding")) * _norm(F.col("cv"))
     )
     return (
-        vecs.crossJoin(F.broadcast(cents))
+        vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, cents))
         .select(
             "vec_id",
             "embedding",
@@ -511,7 +609,8 @@ def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
     ).select("vec_id", "embedding")
     cents = _sem_cents(hist)
     return _provision(
-        spark, sf_dir, "semantic_cell", _sem_assign(hist, cents), "cid"
+        spark, sf_dir, "semantic_cell",
+        _sem_assign(spark, sf_dir, hist, cents), "cid",
     )
 
 
@@ -533,7 +632,7 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     # the SAME deterministic centroid pick the store was built with
-    nassign = _sem_assign(newv, _sem_cents(hist_src))
+    nassign = _sem_assign(spark, sf_dir, newv, _sem_cents(hist_src))
     cos = _dot(F.col("embedding"), F.col("hemb")) / (
         _norm(F.col("embedding")) * _norm(F.col("hemb"))
     )

@@ -31,6 +31,7 @@ from etl_xlsx_potgres_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 PERTURB_EMBEDDINGS = False
+PERTURB_DOCUMENTS = False
 
 # table -> columns to offset per replica so keys stay unique
 OFFSETS = {
@@ -75,6 +76,20 @@ def build_scaled(spark, out_dir: str, mult: int) -> None:
             c = df
             for col, step in offs.items():
                 c = c.withColumn(col, (F.col(col) + F.lit(k * step)).cast(df.schema[col].dataType))
+            if table == "documents" and PERTURB_DOCUMENTS and k > 0:
+                # suffix every token with the replica index: replicas
+                # get entirely disjoint token/shingle/signature spaces
+                # while each replica's INTERNAL near-dup structure is
+                # preserved (a family's docs share suffixed tokens the
+                # same way they shared raw ones). Without this,
+                # signature-keyed dedup queries measure the
+                # exact-duplication artifact (10 identical copies =>
+                # quadratic candidate pairs), not the plan's scaling —
+                # the text twin of --perturb-embeddings.
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1x{k}"),
+                )
             if table == "embeddings" and PERTURB_EMBEDDINGS and k > 0:
                 # rotate each vector by k positions per replica:
                 # norm-preserving but direction-changing, so replicas
@@ -130,10 +145,16 @@ def main() -> int:
     ap.add_argument("--queries", default=None, help="comma list subset")
     ap.add_argument("--perturb-embeddings", action="store_true",
                     help="rotate embedding arrays per replica (see build_scaled)")
+    ap.add_argument("--perturb-documents", action="store_true",
+                    help="suffix tokens per replica (see build_scaled)")
+    ap.add_argument("--passes", type=int, default=3)
     args = ap.parse_args()
     if args.perturb_embeddings:
         global PERTURB_EMBEDDINGS
         PERTURB_EMBEDDINGS = True
+    if args.perturb_documents:
+        global PERTURB_DOCUMENTS
+        PERTURB_DOCUMENTS = True
     if args.tables:
         keep = set(args.tables.split(","))
         for t in list(OFFSETS):
@@ -151,8 +172,8 @@ def main() -> int:
     build_scaled(spark, scaled, args.mult)
     print(f"built {args.mult}x tables in {time.time() - t0:.1f}s", flush=True)
 
-    base_times = time_queries(spark, BASE)
-    scaled_times = time_queries(spark, scaled)
+    base_times = time_queries(spark, BASE, passes=args.passes)
+    scaled_times = time_queries(spark, scaled, passes=args.passes)
     report = {
         "mult": args.mult,
         "base_sec": base_times,
