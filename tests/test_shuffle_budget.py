@@ -257,6 +257,9 @@ BUDGETS = {
                                       # agg + probe shuffle + verdict
                                       # rollup; cents broadcast,
                                       # history side Exchange-free
+    "quality_c4_filters": 0,          # line synth + line filter + page
+                                      # verdict all row-local array
+                                      # HOFs — map-only by contract
 }
 
 
