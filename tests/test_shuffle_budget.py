@@ -260,6 +260,12 @@ BUDGETS = {
     "quality_c4_filters": 0,          # line synth + line filter + page
                                       # verdict all row-local array
                                       # HOFs — map-only by contract
+    "dedup_paragraph_ccnet": 2,       # meta-only hash window + per-doc
+                                      # verdict rollup; paragraph TEXT
+                                      # never shuffles (verdict side
+                                      # broadcasts at this SF; one
+                                      # text-side join exchange at
+                                      # cluster scale)
 }
 
 
