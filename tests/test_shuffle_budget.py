@@ -266,6 +266,9 @@ BUDGETS = {
                                       # broadcasts at this SF; one
                                       # text-side join exchange at
                                       # cluster scale)
+    "filter_domain_blocklist": 2,     # suffix-hit rollup + verdict
+                                      # re-join partials; blocklist
+                                      # side is a broadcast equi-join
 }
 
 
