@@ -269,6 +269,10 @@ BUDGETS = {
     "filter_domain_blocklist": 2,     # suffix-hit rollup + verdict
                                       # re-join partials; blocklist
                                       # side is a broadcast equi-join
+    "dedup_bloom_mergeable": 3,       # 16-group bit_or build + probe
+                                      # rollup + corpus-key distinct;
+                                      # filter + key set broadcast to
+                                      # the probe side
 }
 
 
