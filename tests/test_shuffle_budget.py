@@ -273,6 +273,9 @@ BUDGETS = {
                                       # rollup + corpus-key distinct;
                                       # filter + key set broadcast to
                                       # the probe side
+    "pii_detect_documents": 0,        # four regex detectors + the
+                                      # redaction chain are per-row
+                                      # projections — map-only
 }
 
 
