@@ -276,6 +276,9 @@ BUDGETS = {
     "pii_detect_documents": 0,        # four regex detectors + the
                                       # redaction chain are per-row
                                       # projections — map-only
+    "contamination_ngram13": 2,       # benchmark gram distinct + the
+                                      # per-doc dirty rollup; gram set
+                                      # broadcasts, text never moves
 }
 
 
