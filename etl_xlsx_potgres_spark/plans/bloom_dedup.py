@@ -166,8 +166,15 @@ def dedup_bloom_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.expr("bool_and(bit_hit)").alias("bloom_hit"))
     )
+    # the distinct corpus-key frame SCALES with the corpus — route it
+    # through the size-aware broadcast (the Bloom filter itself is the
+    # constant-size structure; the exact check is the audit side)
+    from .dedup_fuzzy import _size_aware_broadcast
+
     exact = batch.join(
-        F.broadcast(corpus.distinct().withColumn("seen", F.lit(True))),
+        _size_aware_broadcast(
+            spark, sf_dir, corpus.distinct().withColumn("seen", F.lit(True))
+        ),
         "k",
         "left",
     ).select("doc_id", F.coalesce("seen", F.lit(False)).alias("exact_hit"))

@@ -94,9 +94,8 @@ _DUCK_BLOCKLIST_VALUES = ", ".join(f"('{e}')" for e in BLOCKLIST)
 def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     hosts = d.select("doc_id", F.expr(_SPARK_HOST).alias("host"))
-    bl = F.broadcast(
-        spark.createDataFrame([(e,) for e in BLOCKLIST], ["entry"])
-    )
+    bl = spark.createDataFrame([(e,) for e in BLOCKLIST], ["entry"])
+    bl = F.broadcast(bl)
     sufs = (
         hosts.withColumn("labels", F.split("host", "\\."))
         .select(

@@ -249,6 +249,14 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # winners: exactly ONE row with
                                           # 2*N_MERGE_ROUNDS string cols
                                           # (chunk_token_budget)
+        "bloom",                          # the Bloom filter frame: exactly
+                                          # N_WORDS = 16 bigint rows at ANY
+                                          # corpus size — constant by the
+                                          # sketch's definition (bloom_dedup)
+        "bl",                             # the domain blocklist: a fixed
+                                          # curated list (4 fixture rows;
+                                          # UT1-scale lists are still MBs),
+                                          # data-size-free (domain_blocklist)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

@@ -279,6 +279,11 @@ BUDGETS = {
     "contamination_ngram13": 2,       # benchmark gram distinct + the
                                       # per-doc dirty rollup; gram set
                                       # broadcasts, text never moves
+    "drift_psi_reference": 6,         # ONE corpus-scale hist agg; the
+                                      # other five move the constant
+                                      # (type, week, bin) frames
+                                      # (totals/grid/ref joins + the
+                                      # psi rollup)
 }
 
 
