@@ -284,6 +284,9 @@ BUDGETS = {
                                       # (type, week, bin) frames
                                       # (totals/grid/ref joins + the
                                       # psi rollup)
+    "ts_cusum_changepoint": 2,        # daily-count agg + per-type
+                                      # ordered collect; charts are
+                                      # row-local array HOFs
 }
 
 
