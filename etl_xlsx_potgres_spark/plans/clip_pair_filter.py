@@ -1,0 +1,95 @@
+"""Image-text pair curation by embedding agreement — the DataComp /
+LAION recipe (Schuhmann et al. 2021; Gadre et al. 2023): multimodal
+training pairs are kept or dropped by the cosine between the image
+embedding and the caption embedding ("CLIP score"), THE
+quality-filter of web-scale image-text corpora.  The engine side is
+real end to end: the embeddings table plays the image tower's output
+(the ``mm_*`` convention of typed opaque media), the caption tower is
+a deterministic hash projection of the document's tokens (two md5
+digests per token give 64 signed nibble weights — the portable
+sign-plane discipline of ``similarity.sign_plane_signature``, summed
+instead of thresholded), and the pair join + cosine + threshold
+verdict is exactly the production plan shape.
+
+Determinism: the synthesized caption embedding is integer sums turned
+double; the cosine is the similarity family's sequential fold (both
+engines fold row-locally in index order — the proven ``_duck_cos``
+pairing); the keep verdict compares against 0.0, where random pairs
+split ~half/half so both verdict paths are non-vacuous at every SF.
+NULL scores (a zero-norm tower output) map to keep=false on both
+engines via an explicit coalesce.
+
+Plan shape: caption embeddings are built ROW-LOCALLY (O(dim x tokens)
+array HOFs per row — the simhash cost class, no explode); the only
+corpus movement is the pair equi-join on the id key (one shuffle per
+side, or zero with co-bucketed layouts).  Never all-pairs: this is a
+1:1 keyed join, not a similarity search.
+
+Reference lifecycle note: the reference (etl_process.py:1-235) has no
+multimodal surface; pair curation is north-star machinery for the
+multimodal corpus stages the driver mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .similarity import EMB_DIM, _dot, _duck_cos, _norm
+
+_SPARK_DIGS = (
+    "transform(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''),"
+    " w -> concat(md5('0|' || w), md5('1|' || w)))"
+)
+_DUCK_DIGS = (
+    "list_transform(list_filter(string_split_regex(trim(lower(text)),"
+    " '\\s+'), x -> x <> ''), w -> md5('0|' || w) || md5('1|' || w))"
+)
+
+_SPARK_TEXT_EMB = (
+    f"transform(sequence(1, {EMB_DIM}), d -> CAST(aggregate(digs, 0,"
+    " (acc, h) -> acc + (CASE WHEN substring(h, d, 1) >= '8'"
+    " THEN 1 ELSE -1 END)) AS DOUBLE))"
+)
+_DUCK_TEXT_EMB = (
+    f"list_transform(generate_series(1, {EMB_DIM}), d ->"
+    " CAST(COALESCE(list_sum(list_transform(digs, h ->"
+    " CASE WHEN substring(h, d, 1) >= '8' THEN 1 ELSE -1 END)), 0)"
+    " AS DOUBLE))"
+)
+
+
+@register(
+    "mm_clip_pair_filter",
+    oracle=f"""
+    WITH cap AS (
+      SELECT doc_id, {_DUCK_DIGS} AS digs FROM documents
+    ),
+    te AS (
+      SELECT doc_id, {_DUCK_TEXT_EMB} AS temb FROM cap
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             {_duck_cos("t.temb", "e.embedding")} AS clip_score
+      FROM te t JOIN embeddings e ON e.vec_id = t.doc_id
+    )
+    SELECT doc_id, clip_score,
+           COALESCE(clip_score >= 0.0, FALSE) AS keep
+    FROM scored
+    """,
+)
+def mm_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    te = d.select(
+        "doc_id", F.expr(_SPARK_DIGS).alias("digs")
+    ).select("doc_id", F.expr(_SPARK_TEXT_EMB).alias("temb"))
+    pairs = te.join(e, te.doc_id == e.vec_id)
+    score = _dot("temb", "embedding") / (_norm("temb") * _norm("embedding"))
+    return pairs.select(
+        "doc_id",
+        score.alias("clip_score"),
+        F.coalesce(score >= 0.0, F.lit(False)).alias("keep"),
+    )
