@@ -52,6 +52,11 @@ ARROW_PYTHON_OK = {
                                        # token-budget chunker (shared
                                        # oracle pins them); map-side
                                        # fan-out only
+    "mm_clip_pair_filter",             # caption-tower hash projection:
+                                       # the 64-fold JVM HOF form
+                                       # measured 26s at sf0.1 (never
+                                       # reaches codegen); the Arrow
+                                       # batch is 45x faster, map-only
 }
 
 _ARROW_NODES = (
