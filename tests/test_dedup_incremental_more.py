@@ -133,3 +133,29 @@ def test_exact_and_semantic_verdicts_fire_both_ways(spark, sf_dir):
             assert r["keep"] == (r[nd_col] == 0), name
         assert any(not r["keep"] for r in rows), f"{name}: no collisions"
         assert any(r["keep"] for r in rows), f"{name}: everything collided"
+
+
+def test_paragraph_history_probe_is_exchange_free(spark, sf_dir):
+    from etl_xlsx_potgres_spark.plans import paragraph_incremental as pinc
+
+    store = pinc._provision_para_store(spark, sf_dir)
+    hist = spark.table(store)
+    newd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    probes = pinc._paged(newd).select(
+        F.col("doc_id").alias("new_id"), F.explode("paras").alias("para")
+    ).select("new_id", F.unhex(F.md5("para")).alias("phash"))
+    joined = hist.hint("merge").join(probes, "phash")
+    _assert_history_branch_exchange_free(_plan_str(joined), "para_store")
+
+
+def test_paragraph_store_is_distinct_keyed(spark, sf_dir):
+    # the denormalized-count design: ONE row per distinct paragraph
+    # hash, however hot the boilerplate — the probe join is 1:<=1
+    from etl_xlsx_potgres_spark.plans import paragraph_incremental as pinc
+
+    store = pinc._provision_para_store(spark, sf_dir)
+    t = spark.table(store)
+    assert t.count() == t.select("phash").distinct().count()
+    assert t.agg(F.max("n_hist")).first()[0] > 1  # hot keys collapsed
