@@ -67,11 +67,10 @@ _VERDICT = (
 )
 
 
-@register(
-    "drift_psi_reference",
-    oracle=f"""
+def _oracle(duck_bin: str) -> str:
+    return f"""
     WITH hist AS (
-      SELECT event_type, {_DUCK_WEEK} AS week, {_DUCK_BIN} AS bin,
+      SELECT event_type, {_DUCK_WEEK} AS week, {duck_bin} AS bin,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM events GROUP BY 1, 2, 3
     ),
@@ -108,15 +107,16 @@ _VERDICT = (
     SELECT event_type, week, n_curr, n_ref, psi_micro,
            {_VERDICT} AS verdict
     FROM psi
-    """,
-)
-def drift_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _psi(spark: SparkSession, sf_dir: str, spark_bin: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hist = (
         ev.select(
             "event_type",
             F.expr(_SPARK_WEEK).alias("week"),
-            F.expr(_SPARK_BIN).alias("bin"),
+            F.expr(spark_bin).alias("bin"),
         )
         .groupBy("event_type", "week", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -161,3 +161,33 @@ def drift_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "psi_micro",
         F.expr(_VERDICT).alias("verdict"),
     )
+
+
+@register("drift_psi_reference", oracle=_oracle(_DUCK_BIN))
+def drift_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _psi(spark, sf_dir, _SPARK_BIN)
+
+
+# The seeded-shift twin: the canonical thresholds stay untouched (the
+# reference query records that the fixture's NATURAL drift tops out
+# at 'moderate'); here click's value distribution is shifted +5 bins
+# from week 3 — a pure function of (event_type, week, value), applied
+# identically on both engines — so the 'major' rung fires
+# non-vacuously while the untouched types keep exercising 'stable'.
+# This is the monitor's positive control: a detector whose alarm tier
+# has never fired on ANY input is untested plumbing.
+_SPARK_BIN_SHIFTED = (
+    f"CASE WHEN event_type = 'click' AND {_SPARK_WEEK} >= 3 "
+    f"THEN CAST(least(floor(value / 2.0D) + 5, {_BINS - 1}) AS INT) "
+    f"ELSE {_SPARK_BIN} END"
+)
+_DUCK_BIN_SHIFTED = (
+    f"CASE WHEN event_type = 'click' AND {_DUCK_WEEK} >= 3 "
+    f"THEN CAST(least(floor(value / 2.0) + 5, {_BINS - 1}) AS INT) "
+    f"ELSE {_DUCK_BIN} END"
+)
+
+
+@register("drift_psi_shifted", oracle=_oracle(_DUCK_BIN_SHIFTED))
+def drift_psi_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _psi(spark, sf_dir, _SPARK_BIN_SHIFTED)

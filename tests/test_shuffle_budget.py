@@ -287,6 +287,8 @@ BUDGETS = {
     "ts_cusum_changepoint": 2,        # daily-count agg + per-type
                                       # ordered collect; charts are
                                       # row-local array HOFs
+    "drift_psi_shifted": 6,           # same plan as the reference
+                                      # query, shifted bin projection
 }
 
 
