@@ -10,9 +10,10 @@ Scale shapes (the whole point of each design):
   intersections per pair, compute |A∪B| = |A|+|B|−|A∩B|. Cost is
   Σ_shingle freq² — bounded by shingle-frequency capping at scale.
 - MinHash+LSH: fixed-size signature per doc (map-only), band keys,
-  shuffle on band key only. Candidate pairs = docs sharing ≥1 band.
-  Hashes are md5-based and portable (operators/text.py) so the DuckDB
-  oracle reproduces them bit-for-bit.
+  shuffle on band key only. Candidate pairs = docs sharing ≥1 band,
+  with hot buckets occupancy-capped (BAND_CAP) so no bucket can go
+  quadratic. Hashes are md5-based and portable (operators/text.py) so
+  the DuckDB oracle reproduces them bit-for-bit.
 - SimHash: fixed 32-bit signature, map-only; banding on signature
   quarters for candidates.
 - embedding cosine: label-blocked pairs (in production: LSH/IVF
@@ -140,13 +141,25 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_sig_df(load_table(spark, sf_dir, "documents"))
 
 
-# LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
-# sharing any band key are near-dup candidates; at scale the only
-# shuffle is on (band_id, band_key).
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-    WITH sig AS (
+# Per-(band_id, band_key) occupancy cap for the LSH candidate
+# generator.  Web corpora have hot bands BY CONSTRUCTION (boilerplate
+# pages share whole signatures): a band bucket with B documents emits
+# B(B-1)/2 candidate pairs, so without a cap the candidate join is
+# quadratic in band occupancy — the one geometry that can melt a
+# 100 TB dedup run even though every shuffle key is correct.  The cap
+# keeps the top-K documents per bucket by doc_id (deterministic,
+# engine-portable: row_number over an ORDER BY on the unique key),
+# bounding candidates at K(K-1)/2 per bucket; dropped docs in a hot
+# bucket still pair with the K survivors' cluster via their OTHER
+# bands in the common case, and `dedup_minhash_band_stats` reports
+# exactly what the cap clipped as hash-checked data.
+BAND_CAP = 8
+
+# Shared oracle-side band geometry (single source of truth — the
+# Spark twin is band_rows/capped_band_rows/lsh_candidate_pairs below;
+# graph_components._PAIRS_SQL composes these same fragments).
+_BANDS_SQL = f"""
+    sig AS (
       SELECT doc_id, {", ".join(sql_minhash_exprs("text"))}
       FROM documents
       WHERE len({_DUCK_TOKENS}) >= 3
@@ -156,20 +169,29 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
       UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
       UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
-    )
-    SELECT a.doc_id AS d1, b.doc_id AS d2,
-           COUNT(DISTINCT a.band_id) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_key = b.band_key AND a.band_id = b.band_id
-     AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    """,
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
-    # one pass: explode the 4 band keys from the signature row instead
-    # of unioning 4 recomputations of the signature subplan
+    ),
+    capped_bands AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               row_number() OVER (PARTITION BY band_id, band_key
+                                  ORDER BY doc_id) AS band_rank
+        FROM bands
+      ) WHERE band_rank <= {BAND_CAP}
+    )"""
+
+_CAND_SQL = """
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.band_id
+      FROM capped_bands a JOIN capped_bands b
+        ON a.band_key = b.band_key AND a.band_id = b.band_id
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key): one pass — explode the 4 band keys
+    from the signature row instead of unioning 4 recomputations of the
+    signature subplan."""
     band_structs = F.array(
         *[
             F.struct(
@@ -181,16 +203,117 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
     )
+
+
+def capped_band_rows(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    """Band rows with at most ``cap`` documents per (band_id, band_key)
+    bucket (smallest doc_ids win — deterministic).  The row_number
+    window shuffles on exactly the key the candidate self-join needs,
+    so the cap costs no extra Exchange on that side; within a hot
+    bucket the window pass is linear in occupancy (the B² blowup it
+    prevents was in the join, not here)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    return (
+        band_rows(sig)
+        .withColumn("band_rank", F.row_number().over(w))
+        .filter(F.col("band_rank") <= cap)
+        .drop("band_rank")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    """(d1, d2, band_id) candidate pairs from the capped banded
+    self-join — ≤ cap(cap-1)/2 pairs per band bucket, shuffle keyed on
+    (band_id, band_key) only.  Shared by ``dedup_minhash_lsh_pairs``,
+    ``dedup_minhash_calibration`` and ``dedup_connected_components``
+    (advice r16: one geometry, one place)."""
+    bands = capped_band_rows(sig, cap)
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
     return (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "band_id")
+    )
+
+
+# LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
+# sharing any band key are near-dup candidates; at scale the only
+# shuffle is on (band_id, band_key), and hot buckets are occupancy-
+# capped (BAND_CAP) so candidates are bounded per bucket.
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    {_CAND_SQL}
+    SELECT d1, d2, COUNT(DISTINCT band_id) AS n_shared_bands
+    FROM cand
+    GROUP BY d1, d2
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # persisted: the signature subplan (shingle explode + 8 md5/shingle
+    # + groupBy-min) feeds both sides of the banded self-join; without
+    # the barrier it runs twice
+    sig = scoped_persist(_minhash_sig_df(d).filter(F.col("mh0").isNotNull()))
+    return (
+        lsh_candidate_pairs(sig)
         .groupBy("d1", "d2")
         .agg(F.countDistinct("band_id").alias("n_shared_bands"))
+    )
+
+
+# The cap's monitoring twin: the per-occupancy histogram of band
+# buckets, with kept/clipped doc counts and capped-vs-uncapped
+# candidate-pair totals — the cap reported as hash-checked DATA, so a
+# corpus whose hot bands start clipping real volume shows up as a
+# value change, not a silent perf cliff. (n*(n-1) is always even, so
+# integer DIV 2 is exact in both engines.)
+@register(
+    "dedup_minhash_band_stats",
+    oracle=f"""
+    WITH {_BANDS_SQL},
+    occ AS (
+      SELECT band_id, band_key, COUNT(*) AS n
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT CAST(n AS BIGINT) AS occupancy,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(n, {BAND_CAP})) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n - LEAST(n, {BAND_CAP})) AS BIGINT) AS n_docs_clipped,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs_uncapped,
+           CAST(SUM(LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) // 2)
+                AS BIGINT) AS pairs_capped
+    FROM occ GROUP BY n
+    """,
+)
+def dedup_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
+    occ = band_rows(sig).groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    kept = F.least(F.col("n"), F.lit(BAND_CAP))
+    return occ.groupBy(F.col("n").cast("long").alias("occupancy")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_docs_kept"),
+        F.sum(F.col("n") - kept).cast("long").alias("n_docs_clipped"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long").alias("pairs_uncapped"),
+        F.sum(
+            F.expr(
+                f"LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) DIV 2"
+            )
+        ).cast("long").alias("pairs_capped"),
     )
 
 

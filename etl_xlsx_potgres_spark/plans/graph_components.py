@@ -28,14 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
-from ..operators.text import sql_minhash_exprs
 from ..registry import register
 from ..sources import load_table
-from .dedup_fuzzy import _minhash_sig_df
-
-_DUCK_TOKENS = (
-    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
-)
+from .dedup_fuzzy import _BANDS_SQL, _CAND_SQL, _minhash_sig_df, lsh_candidate_pairs
 
 MAX_ITER = 20
 
@@ -102,23 +97,15 @@ def connected_components(edges: DataFrame, vertex_col: str = "v") -> DataFrame:
     return labels.withColumnRenamed("v", vertex_col)
 
 
+# Composed from dedup_fuzzy's shared fragments (one geometry, one
+# place — the Spark twin is dedup_fuzzy.lsh_candidate_pairs), so the
+# occupancy cap and band construction can never desynchronize between
+# the pair generator, the calibration audit, and this closure.
 _PAIRS_SQL = f"""
-    sig AS (
-      SELECT doc_id, {", ".join(sql_minhash_exprs("text"))}
-      FROM documents
-      WHERE len({_DUCK_TOKENS}) >= 3
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band_id, md5(mh0 || mh1) AS band_key FROM sig
-      UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM sig
-      UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM sig
-      UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM sig
-    ),
+    {_BANDS_SQL},
+    {_CAND_SQL},
     pairs AS (
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.band_key = b.band_key AND a.band_id = b.band_id
-       AND a.doc_id < b.doc_id
+      SELECT DISTINCT d1, d2 FROM cand
     )
 """
 
@@ -160,27 +147,10 @@ _PAIRS_SQL = f"""
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.md5(F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))).alias(
-                    "band_key"
-                ),
-            )
-            for i in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id"), F.col("b.band_key")
-    )
-    a = bands.select(F.col("doc_id").alias("src"), "band_id", "band_key")
-    b = bands.select(F.col("doc_id").alias("dst"), "band_id", "band_key")
+    sig = scoped_persist(_minhash_sig_df(d).filter(F.col("mh0").isNotNull()))
     pairs = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        lsh_candidate_pairs(sig)
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .distinct()
     )
     comp = connected_components(pairs, vertex_col="doc_id")

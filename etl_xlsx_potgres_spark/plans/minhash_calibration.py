@@ -18,12 +18,14 @@ DuckDB ``//`` truncation == floor == Spark ``DIV``), and both screen
 thresholds are INTEGER comparisons (``n_eq >= 4``,
 ``2*inter >= union``) — no float enters any verdict.
 
-Plan shape: candidate pairs come from the banded LSH join (never
-all-pairs — ``dedup_minhash_lsh_pairs``'s geometry); the signature
-compare joins the (doc_id, 8 hashes) sig frame twice (shuffles carry
-32-byte hashes); the exact side joins the cached distinct-shingle
-frame per pair — the expensive exact computation is confined to the
-candidate set, which is exactly the point of the calibration.
+Plan shape: candidate pairs come from the SHARED capped banded LSH
+geometry (``dedup_fuzzy.lsh_candidate_pairs`` — never all-pairs, and
+hot band buckets occupancy-capped at BAND_CAP so candidates are
+bounded at cap(cap-1)/2 per bucket); the signature frame is persisted
+once and feeds the band join and both sides of the agreement join;
+the exact side joins the cached distinct-shingle frame per pair — the
+expensive exact computation is confined to the (bounded) candidate
+set, which is exactly the point of the calibration.
 
 Reference lifecycle note: the reference (etl_process.py:1-235) has no
 similarity surface; minhash accuracy auditing is north-star dedup
@@ -39,7 +41,7 @@ from ..caching import scoped_persist
 from ..operators.text import shingles_long
 from ..registry import register
 from ..sources import load_table
-from .dedup_fuzzy import _DUCK_SHINGLES, _minhash_sig_df
+from .dedup_fuzzy import _DUCK_SHINGLES, _minhash_sig_df, lsh_candidate_pairs
 from .graph_components import _PAIRS_SQL
 
 _N_EQ_SQL = " + ".join(
@@ -96,31 +98,15 @@ _SCREEN = (
 )
 def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.md5(
-                    F.concat(F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}"))
-                ).alias("band_key"),
-            )
-            for i in range(4)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id"), F.col("b.band_key")
-    )
-    pairs = (
-        bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
-        .join(
-            bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key"),
-            ["band_id", "band_key"],
-        )
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    # persisted: the signature subplan feeds the banded self-join
+    # (twice) AND both sides of the component-agreement join below —
+    # without the barrier the shingle-explode + 8-md5 pipeline ran 4x
+    # (this was the bench's slowest query before r17)
+    sig = scoped_persist(_minhash_sig_df(d).filter(F.col("mh0").isNotNull()))
+    # shared capped band geometry (dedup_fuzzy.lsh_candidate_pairs) —
+    # the calibration audits EXACTLY the candidate set the production
+    # pair generator emits, occupancy cap included
+    pairs = lsh_candidate_pairs(sig).select("d1", "d2").distinct()
 
     sh = scoped_persist(shingles_long(d, "text", 3).distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

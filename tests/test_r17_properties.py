@@ -1,0 +1,126 @@
+"""r17 property checks.
+
+Hot-band occupancy cap: web corpora produce degenerate LSH band
+buckets (boilerplate pages share whole signatures), and an uncapped
+banded self-join is quadratic in bucket occupancy.  These tests build
+exactly that pathology — one signature shared by 40 documents, so
+every band bucket holds 40 docs — and assert the capped geometry
+(dedup_fuzzy.BAND_CAP) bounds candidates at C(cap, 2) per bucket,
+keeps the deterministic smallest-doc_id survivors, reports the
+clipping as data, and still matches the DuckDB oracle bit-for-bit on
+the same synthetic fixture (the cap is part of BOTH engines' query,
+not a Spark-side heuristic).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Row
+
+from etl_xlsx_potgres_spark import registry
+from etl_xlsx_potgres_spark.plans.dedup_fuzzy import BAND_CAP
+from etl_xlsx_potgres_spark.sources.tables import SCHEMAS
+
+from .oracle_utils import assert_frames_match
+
+registry.load_all()
+
+_HOT_N = 40
+_HOT_TEXT = "alpha beta gamma delta epsilon zeta"
+
+
+def _hot_band_fixture(spark, tmp_path) -> str:
+    rows = [
+        Row(
+            doc_id=i,
+            text=_HOT_TEXT,
+            lang="en",
+            source="web",
+            n_chars=len(_HOT_TEXT),
+        )
+        for i in range(_HOT_N)
+    ]
+    # distinct tail docs: unique signatures, occupancy-1 buckets
+    for i in range(_HOT_N, _HOT_N + 4):
+        t = f"unique{i} words here all different token{i} tail{i}"
+        rows.append(
+            Row(doc_id=i, text=t, lang="en", source="web", n_chars=len(t))
+        )
+    spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _oracle_pdf(sf_dir: str, name: str):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    out = con.sql(registry.ORACLES[name]).df()
+    con.close()
+    return out
+
+
+def test_hot_band_candidates_bounded_by_cap(spark, tmp_path):
+    sf = _hot_band_fixture(spark, tmp_path)
+    pairs = registry.QUERIES["dedup_minhash_lsh_pairs"](spark, sf).collect()
+    # uncapped, the 40-doc bucket would emit C(40,2) = 780 pairs;
+    # capped, exactly C(cap,2) among the cap smallest doc_ids
+    expected = BAND_CAP * (BAND_CAP - 1) // 2
+    assert len(pairs) == expected
+    survivors = set(range(BAND_CAP))
+    for r in pairs:
+        assert r.d1 in survivors and r.d2 in survivors
+        assert r.n_shared_bands == 4  # identical signature -> all bands
+
+
+def test_hot_band_stats_report_clipping(spark, tmp_path):
+    sf = _hot_band_fixture(spark, tmp_path)
+    stats = {
+        r.occupancy: r
+        for r in registry.QUERIES["dedup_minhash_band_stats"](spark, sf).collect()
+    }
+    hot = stats[_HOT_N]
+    assert hot.n_buckets == 4  # all 4 bands degenerate
+    assert hot.n_docs == 4 * _HOT_N
+    assert hot.n_docs_kept == 4 * BAND_CAP
+    assert hot.n_docs_clipped == 4 * (_HOT_N - BAND_CAP)
+    assert hot.pairs_uncapped == 4 * (_HOT_N * (_HOT_N - 1) // 2)
+    assert hot.pairs_capped == 4 * (BAND_CAP * (BAND_CAP - 1) // 2)
+    # the distinct tail docs sit in occupancy-1 buckets, unclipped
+    assert stats[1].n_docs_clipped == 0 and stats[1].pairs_capped == 0
+
+
+def test_hot_band_oracle_parity_on_synthetic_fixture(spark, tmp_path):
+    sf = _hot_band_fixture(spark, tmp_path)
+    for name in (
+        "dedup_minhash_lsh_pairs",
+        "dedup_minhash_band_stats",
+        "dedup_connected_components",
+    ):
+        spark_pdf = registry.QUERIES[name](spark, sf).toPandas()
+        assert_frames_match(spark_pdf, _oracle_pdf(sf, name), name)
+
+
+def test_capped_band_rows_is_deterministic_smallest_ids(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans.dedup_fuzzy import (
+        _minhash_sig_df,
+        capped_band_rows,
+    )
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    sf = _hot_band_fixture(spark, tmp_path)
+    d = load_table(spark, sf, "documents")
+    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
+    kept = (
+        capped_band_rows(sig)
+        .filter(F.col("doc_id") < _HOT_N)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert sorted(r.doc_id for r in kept) == list(range(BAND_CAP))
