@@ -19,13 +19,16 @@ map-only projection; this adds ONE (label, predicted) aggregate
 (25-cell frame at any corpus size, map-side partials) and a
 label-total window over that constant frame.
 
-What the audit shows on this fixture — and why that is the point: the
-synthetic text carries none of the marker words, so every document
-falls through the cascade to 'en' (recall 1.0 for en, 0.0 elsewhere).
-``text_lang_id`` has been green for rounds without anyone seeing
-that; the confusion matrix is the query that makes a degenerate
-identifier VISIBLE, which is exactly what it exists to do in a real
-pipeline before language-keyed stages trust the routing.
+r16 history: this audit originally exposed a DEGENERATE identifier —
+the raw synthetic text carries no marker words, so every document
+fell through the cascade to 'en' (recall 1.0 for en, 0.0 elsewhere).
+r17 made the fixture non-trivial via the deterministic in-query
+localization in ``text_analysis`` (label-seeded marker injection with
+genuine cross-language collisions — 'des', 'la', 'de'); the matrix
+now has ≥3 predicted classes, a strong diagonal, and honest
+off-diagonal mass (de→fr, fr→es, low-signal→en), so an identifier
+regression moves hash-checked rates instead of hiding behind a
+constant column.
 
 Reference lifecycle note: the reference (etl_process.py:1-235) has no
 classifier surface; identifier auditing is north-star curation

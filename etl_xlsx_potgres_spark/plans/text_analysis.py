@@ -134,9 +134,121 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.withColumn("quality", quality)
 
 
+# ---------------------------------------------------------------- lang ID
+#
+# The synthetic documents carry a `lang` label over language-NEUTRAL
+# text (one shared vocabulary), so any content-based identifier is
+# blind on the raw fixture — the r16 confusion audit proved the
+# heuristic routed 100% of documents to 'en'. The fixture is driver-
+# owned, so the marker-bearing surface the label claims is derived
+# IN-QUERY (the same seeded-synthesis discipline as gopher_lines'
+# multi-line pages and bloom's undersized filter): a deterministic
+# per-token localization replaces the shared function words
+# ('the'/'a') with the label language's article, and injects one of 8
+# language-typical function words at pseudo-random positions
+# ((p*37 + doc_id) % 9 == 0 — about one token in nine). The word
+# lists deliberately contain genuine cross-language collisions ('des'
+# is German genitive AND a French article; 'la'/'de' are Spanish AND
+# French function words), and short documents can draw zero markers —
+# so the identifier sees realistic confusable text and the confusion
+# matrix is non-trivial: off-diagonal mass appears for de→fr, fr→es,
+# and low-signal→en, and a regression in the identifier moves
+# hash-checked rates. The identifier itself (marker counts + tiebreak
+# cascade) never sees the label.
+_LOC_WORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "on", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "des", "ein"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "con"],
+    "fr": ["le", "les", "et", "des", "est", "une", "la", "de"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不", "人"],
+}
+_LOC_ARTICLE = {"en": "the", "de": "der", "es": "el", "fr": "le", "zh": "的"}
+_LOC_INDEF = {"en": "a", "de": "ein", "es": "un", "fr": "une", "zh": "一"}
+
+
+def _localized_text_col() -> F.Column:
+    """Spark twin of _DUCK_LOC_SQL: deterministic localization of the
+    `text` column by the `lang` label (pure Catalyst — transform with
+    index + literal-array element_at; no UDF)."""
+
+    def word_case(choices) -> F.Column:
+        expr = None
+        for lang, val in choices:
+            cond = F.col("lang") == lang
+            expr = (
+                F.when(cond, val) if expr is None else expr.when(cond, val)
+            )
+        return expr
+
+    def one_token(t: F.Column, i: F.Column) -> F.Column:
+        p = i + 1
+        inject = (p * 37 + F.col("doc_id")) % 9 == 0
+        idx = ((F.col("doc_id") + p) % 8 + 1).cast("int")
+        marker = word_case(
+            [
+                (lang, F.element_at(F.array(*[F.lit(w) for w in words]), idx))
+                for lang, words in _LOC_WORDS.items()
+            ]
+        ).otherwise(t)
+        article = word_case(
+            [(lang, F.lit(w)) for lang, w in _LOC_ARTICLE.items()]
+        ).otherwise(t)
+        indef = word_case(
+            [(lang, F.lit(w)) for lang, w in _LOC_INDEF.items()]
+        ).otherwise(t)
+        return (
+            F.when(inject, marker)
+            .when(t == "the", article)
+            .when(t == "a", indef)
+            .otherwise(t)
+        )
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return F.concat_ws(" ", F.transform(toks, one_token))
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _duck_lang_case(choices: list[tuple[str, str]]) -> str:
+    whens = " ".join(f"WHEN '{lang}' THEN {val}" for lang, val in choices)
+    return f"CASE lang {whens} ELSE toks[p] END"
+
+
+_DUCK_LOC_SQL = f"""array_to_string(list_transform(
+      generate_series(1, len(toks)),
+      p -> CASE
+        WHEN (p * 37 + doc_id) % 9 = 0 THEN {_duck_lang_case([
+            (lang, f"list_extract({_duck_list(words)}, "
+                   f"CAST((doc_id + p) % 8 + 1 AS INT))")
+            for lang, words in _LOC_WORDS.items()
+        ])}
+        WHEN toks[p] = 'the' THEN {_duck_lang_case(
+            [(lang, f"'{w}'") for lang, w in _LOC_ARTICLE.items()]
+        )}
+        WHEN toks[p] = 'a' THEN {_duck_lang_case(
+            [(lang, f"'{w}'") for lang, w in _LOC_INDEF.items()]
+        )}
+        ELSE toks[p] END), ' ')"""
+
+# the localized corpus as a reusable CTE body (text replaced by its
+# marker-bearing derivation; consumed by text_lang_id and, through its
+# oracle, text_lang_confusion)
+_DUCK_LOC_DOCS = f"""
+    tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    loc AS (
+      SELECT doc_id, lang, {_DUCK_LOC_SQL} AS text FROM tok
+    )"""
+
+
 @register(
     "text_lang_id",
     oracle=f"""
+    WITH {_DUCK_LOC_DOCS}
     SELECT doc_id, lang AS labeled_lang,
            CASE WHEN c_zh > 0 THEN 'zh'
                 WHEN c_en >= greatest(c_de, c_es, c_fr) THEN 'en'
@@ -151,12 +263,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(regexp_extract_all(lower(text), '{LANG_MARKERS["es"]}')) AS c_es,
              len(regexp_extract_all(lower(text), '{LANG_MARKERS["fr"]}')) AS c_fr,
              len(regexp_extract_all(text, '{CJK_RANGE}')) AS c_zh
-      FROM documents
+      FROM loc
     )
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _localized_text_col().alias("text")
+    )
     low = F.lower("text")
     counts = d.select(
         "doc_id",

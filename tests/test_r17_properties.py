@@ -124,3 +124,52 @@ def test_capped_band_rows_is_deterministic_smallest_ids(spark, tmp_path):
         .collect()
     )
     assert sorted(r.doc_id for r in kept) == list(range(BAND_CAP))
+
+
+# ------------------------------------------------------- language ID
+
+def test_lang_id_is_not_degenerate(spark, sf_dir):
+    """r16 verdict: the identifier routed 100% of documents to 'en'
+    because the raw fixture text is language-neutral. The r17 in-query
+    localization must yield a NON-TRIVIAL audit: several predicted
+    classes, a dominant diagonal, and at least one off-diagonal cell
+    (the seeded confusables — 'des', 'la', 'de' — plus low-signal
+    docs), on every fixture SF."""
+    rows = registry.QUERIES["text_lang_confusion"](spark, sf_dir).collect()
+    predicted = {r.predicted_lang for r in rows}
+    assert len(predicted) >= 3, f"degenerate identifier: {predicted}"
+    off_diag = [r for r in rows if not r.is_correct]
+    assert off_diag, "confusion matrix has no off-diagonal mass"
+    # diagonal dominance: every label's top predicted class is itself
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.labeled_lang, []).append(r)
+    for label, cells in by_label.items():
+        best = max(cells, key=lambda r: r.n_docs)
+        assert best.predicted_lang == label, (
+            f"{label}: majority routed to {best.predicted_lang}"
+        )
+
+
+def test_lang_localization_never_sees_label_in_classifier(spark, sf_dir):
+    """The prediction must be a pure function of the derived text: two
+    docs with identical localized text get identical predictions
+    regardless of label (guards against the classifier accidentally
+    keying on the `lang` column)."""
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans.text_analysis import _localized_text_col
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _localized_text_col().alias("text")
+    )
+    preds = registry.QUERIES["text_lang_id"](spark, sf_dir)
+    joined = preds.join(d.select("doc_id", "text"), "doc_id")
+    groups = (
+        joined.groupBy("text")
+        .agg(F.countDistinct("predicted_lang").alias("n_preds"))
+        .filter(F.col("n_preds") > 1)
+        .count()
+    )
+    assert groups == 0
