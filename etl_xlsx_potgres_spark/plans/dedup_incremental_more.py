@@ -502,7 +502,7 @@ nvecs AS (
   WHERE embedding IS NOT NULL AND vec_id % 10 = 0
 ),
 cents AS (
-  SELECT cid, cv FROM (
+  SELECT cid, cv, rk FROM (
     SELECT vec_id AS cid, embedding AS cv,
            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                               vec_id) AS rk,
@@ -510,19 +510,45 @@ cents AS (
     FROM hvecs)
   WHERE rk <= greatest({SEM_MIN_CELLS}, n // {SEM_CELL_SIZE})
 ),
+coarse AS (
+  SELECT cid AS gid, cv AS gv FROM (
+    SELECT cid, cv, rk, COUNT(*) OVER () AS k FROM cents)
+  WHERE rk <= CAST(ceil(sqrt(k)) AS INT)
+),
+c2g AS (
+  SELECT cid, cv, gid FROM (
+    SELECT c.cid, c.cv, g.gid,
+           row_number() OVER (PARTITION BY c.cid ORDER BY
+             {_duck_cos("c.cv", "g.gv")} DESC, g.gid) AS grn
+    FROM cents c CROSS JOIN coarse g) WHERE grn = 1
+),
+hv2g AS (
+  SELECT vec_id, embedding, gid FROM (
+    SELECT v.vec_id, v.embedding, g.gid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_duck_cos("v.embedding", "g.gv")} DESC, g.gid) AS grn
+    FROM hvecs v CROSS JOIN coarse g) WHERE grn = 1
+),
 hassign AS (
   SELECT vec_id, embedding, cid FROM (
-    SELECT v.vec_id, v.embedding, c.cid,
+    SELECT v.vec_id, v.embedding, s.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
-    FROM hvecs v CROSS JOIN cents c) WHERE arn = 1
+             {_duck_cos("v.embedding", "s.cv")} DESC, s.cid) AS arn
+    FROM hv2g v JOIN c2g s ON s.gid = v.gid) WHERE arn = 1
+),
+nv2g AS (
+  SELECT vec_id, embedding, gid FROM (
+    SELECT v.vec_id, v.embedding, g.gid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {_duck_cos("v.embedding", "g.gv")} DESC, g.gid) AS grn
+    FROM nvecs v CROSS JOIN coarse g) WHERE grn = 1
 ),
 nassign AS (
   SELECT vec_id, embedding, cid FROM (
-    SELECT v.vec_id, v.embedding, c.cid,
+    SELECT v.vec_id, v.embedding, s.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
-    FROM nvecs v CROSS JOIN cents c) WHERE arn = 1
+             {_duck_cos("v.embedding", "s.cv")} DESC, s.cid) AS arn
+    FROM nv2g v JOIN c2g s ON s.gid = v.gid) WHERE arn = 1
 ),
 per AS (
   SELECT n.vec_id,
@@ -544,14 +570,13 @@ LEFT JOIN per ON per.vec_id = d.vec_id
 
 
 def _sem_cents(hist: DataFrame) -> DataFrame:
-    """Deterministic hash-ordered centroid seeds, count SCALED with
-    the history (~{SEM_CELL_SIZE} vectors per cell): a fixed cell
-    count makes in-cell candidate pairs quadratic in N — the r16
-    probe measured 16.6x wall at 10x data with 16 fixed cells, vs
-    near-linear once cells track N.  This mirrors SemDeDup's K
-    scaling; the global row_number seed rank is fixture-scale
-    machinery — production seeds come from sampled k-means and the
-    two-level assignment of ``plans/semantic_dedup``."""
+    """Deterministic hash-ordered centroid seeds (cid, cv, rk), count
+    SCALED with the history (~{SEM_CELL_SIZE} vectors per cell): a
+    fixed cell count makes in-cell candidate pairs quadratic in N —
+    the r16 probe measured 16.6x wall at 10x data with 16 fixed
+    cells, vs near-linear once cells track N.  This mirrors SemDeDup's
+    K scaling; the global row_number seed rank is fixture-scale
+    machinery — production seeds come from sampled k-means."""
     w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
     return (
         hist.select(
@@ -568,38 +593,88 @@ def _sem_cents(hist: DataFrame) -> DataFrame:
                 F.lit(SEM_MIN_CELLS), F.expr(f"n DIV {SEM_CELL_SIZE}")
             )
         )
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+        .select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "rk"
+        )
+    )
+
+
+def _sem_coarse(cents: DataFrame) -> DataFrame:
+    """The first ceil(sqrt(K)) cells (hash order) as coarse group
+    seeds (gid, gv).  K is the cents frame's own row count — derived
+    as a window expression, never a driver-side action."""
+    w = Window.partitionBy(F.lit(1))
+    return (
+        cents.withColumn("k", F.count(F.lit(1)).over(w))
+        .filter(F.col("rk") <= F.expr("CAST(ceil(sqrt(k)) AS INT)"))
+        .select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    )
+
+
+def _argmin_cos(
+    df: DataFrame, vec_col: str, cand_vec: str, cand_id: str, out: str
+) -> DataFrame:
+    """Per (vec_id) nearest candidate by cosine with (cos DESC, id)
+    tie-break as a min(struct) — map-side partials, no window shuffle
+    (negated cosine flips DESC to the struct min)."""
+    cos = _dot(F.col(vec_col), F.col(cand_vec)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(cand_vec))
+    )
+    return (
+        df.select(
+            "vec_id",
+            vec_col,
+            F.struct((-cos).alias("nc"), F.col(cand_id).alias("i")).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("sc").alias("mc"), F.first(vec_col).alias(vec_col))
+        .select("vec_id", vec_col, F.col("mc.i").alias(out))
     )
 
 
 def _sem_assign(
     spark: SparkSession, sf_dir: str, vecs: DataFrame, cents: DataFrame
 ) -> DataFrame:
-    """(vec_id, embedding, cid): nearest-centroid by cosine with
-    (cos DESC, cid) tie-break as a min(struct) — map-side partials,
-    no window shuffle (negated cosine flips DESC to the struct min).
-    The centroid frame SCALES with history (cells ~ N/{SEM_CELL_SIZE}),
-    so its broadcast is size-gated, not hard-coded."""
+    """(vec_id, embedding, cid): TWO-LEVEL nearest-centroid by cosine
+    (r17, closing the r16 probe residual): vectors first pick the
+    nearest of C = ceil(sqrt(K)) coarse seeds, then the nearest fine
+    cell WITHIN that coarse group (cells pre-grouped by the same
+    argmin rule).  The r16 flat scheme evaluated N x K cosines with
+    K ∝ N (the SemDeDup scaling knob) — quadratic, 4.44x wall at 10x
+    data even after the cell-count fix; two-level cuts evals to
+    N x (C + K/C) ≈ 2N·sqrt(K), the ``plans/semantic_dedup``
+    geometry. Membership near coarse boundaries can differ from the
+    flat argmin; the oracle mirrors the SAME two-level rule, so the
+    differential stays bit-exact.  Centroid/group frames SCALE with
+    history, so broadcasts are size-gated, not hard-coded."""
     from .dedup_fuzzy import _size_aware_broadcast
 
-    cos = _dot(F.col("embedding"), F.col("cv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cv"))
+    coarse = _sem_coarse(cents)
+    # fine cell -> coarse group (K x C rows, both centroid-sized)
+    c2g = _argmin_cos(
+        cents.select(F.col("cid").alias("vec_id"), F.col("cv"))
+        .crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
+        "cv",
+        "gv",
+        "gid",
+        "gid",
+    ).select(F.col("vec_id").alias("cid"), "cv", "gid")
+    # vector -> coarse group: N x C evals, one N-row shuffle
+    v2g = _argmin_cos(
+        vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
+        "embedding",
+        "gv",
+        "gid",
+        "gid",
     )
-    return (
-        vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, cents))
-        .select(
-            "vec_id",
-            "embedding",
-            F.struct((-cos).alias("nc"), F.col("cid").alias("cid")).alias(
-                "sc"
-            ),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min("sc").alias("mc"),
-            F.first("embedding").alias("embedding"),
-        )
-        .select("vec_id", "embedding", F.col("mc.cid").alias("cid"))
+    # vector -> fine cell within its group: ~N x K/C evals; the
+    # groupBy reuses v2g's vec_id partitioning
+    return _argmin_cos(
+        v2g.join(_size_aware_broadcast(spark, sf_dir, c2g), "gid"),
+        "embedding",
+        "cv",
+        "cid",
+        "cid",
     )
 
 
