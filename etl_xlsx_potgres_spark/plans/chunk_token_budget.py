@@ -20,11 +20,11 @@ floor-div rule gives the same ~BUDGET-sized chunks while staying a
 closed-form expression both engines state identically.
 
 Dual implementation, mutually pinned through ONE oracle:
-- ``text_chunk_token_budget`` — pure JVM: costs, prefix sums, chunk
-  assembly all as higher-order array functions over each row's own
-  tokens (O(n_words^2) slices per row — bounded by document length;
-  an explode+window variant trades a shuffle for linearity on
-  book-length documents);
+- ``text_chunk_token_budget`` — pure JVM, word-count gated (r17):
+  docs under ``LONG_DOC_WORDS`` use row-local higher-order array
+  functions (O(n_words^2) slices per row, shuffle-free); book-length
+  docs take the explode+window running-sum path (linear per doc, the
+  shuffle confined to long docs' tokens);
 - ``text_chunk_token_budget_udtf`` — the Arrow UDTF escape hatch
   (``chunk_udtf``'s lateral-join shape) receiving the trained merges
   as an argument; the Python loop must reproduce the JVM chunker
@@ -162,15 +162,33 @@ def _merges_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mrow
 
 
-def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Word-count gate between the two physical strategies: the row-local
+# HOF path computes each word's prefix sum with an O(n) slice fold —
+# O(n^2) per document, shuffle-free and fastest for the short docs
+# that dominate web corpora; past the gate the per-doc cost knees
+# (~1e3 words, VERDICT r16 #5), so book-length documents take the
+# explode+window path: one running-sum window partitioned by doc_id —
+# linear per document, at the price of shuffling only the LONG docs'
+# tokens. Both paths evaluate the identical closed-form floor-div
+# rule over exact bigint prefix sums, so the split is invisible to
+# the oracle (and a property test pins long-doc output against the
+# UDTF twin byte-for-byte).
+LONG_DOC_WORDS = 512
+
+
+def _costed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).filter(
         F.size("toks") > 0
     )
-    costed = base.crossJoin(F.broadcast(_merges_row(spark, sf_dir))).select(
+    return base.crossJoin(F.broadcast(_merges_row(spark, sf_dir))).select(
         "doc_id", "toks", F.expr(_cost_expr("spark")).alias("costs")
     )
-    prefixed = costed.select(
+
+
+def _chunked_short(costed: DataFrame) -> DataFrame:
+    """Row-local HOF chunker for docs under the gate (no shuffle)."""
+    prefixed = costed.filter(F.size("costs") < LONG_DOC_WORDS).select(
         "doc_id",
         "toks",
         "costs",
@@ -195,6 +213,52 @@ def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ch.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def _chunked_long(costed: DataFrame) -> DataFrame:
+    """Explode+window chunker for book-length docs: ONE running-sum
+    window per document (exclusive frame = the same prefix-before-i
+    the HOF path slices for), then a (doc_id, chunk_id) aggregate
+    whose order-sensitive text rebuild sorts the collected (pos, tok)
+    structs row-locally — linear in document length."""
+    from pyspark.sql import Window
+
+    ex = costed.filter(F.size("costs") >= LONG_DOC_WORDS).select(
+        "doc_id", F.posexplode(F.arrays_zip("toks", "costs")).alias("pos", "s")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = ex.select(
+        "doc_id",
+        "pos",
+        F.col("s.toks").alias("tok"),
+        F.col("s.costs").alias("cost"),
+        F.coalesce(F.sum("s.costs").over(w), F.lit(0)).alias("prefix"),
+    )
+    return (
+        pre.withColumn("chunk_id", F.expr(f"prefix DIV {BUDGET}"))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("cost").cast("long").alias("n_bpe_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", "chunk_id", "n_words", "n_bpe_tokens", "chunk_text")
+    )
+
+
+def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    costed = _costed(spark, sf_dir)
+    return _chunked_short(costed).unionByName(_chunked_long(costed))
 
 
 @register("text_chunk_token_budget", oracle=_ORACLE)

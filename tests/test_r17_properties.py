@@ -173,3 +173,66 @@ def test_lang_localization_never_sees_label_in_classifier(spark, sf_dir):
         .count()
     )
     assert groups == 0
+
+
+# -------------------------------------------- token-budget chunk gate
+
+def _long_doc_fixture(spark, tmp_path) -> str:
+    """Mixed corpus around the LONG_DOC_WORDS gate: short docs (HOF
+    path), one doc exactly at the gate and two book-length docs
+    (window path) — all deterministic text so BPE training and
+    chunking reproduce bit-for-bit."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta"]
+
+    def words(n, salt):
+        return " ".join(vocab[(salt + i) % len(vocab)] for i in range(n))
+
+    from etl_xlsx_potgres_spark.plans.chunk_token_budget import (
+        LONG_DOC_WORDS,
+    )
+
+    lengths = [30, 75, LONG_DOC_WORDS - 1, LONG_DOC_WORDS,
+               LONG_DOC_WORDS + 333, 4 * LONG_DOC_WORDS]
+    rows = []
+    for i, n in enumerate(lengths):
+        t = words(n, i)
+        rows.append(
+            Row(doc_id=i, text=t, lang="en", source="web", n_chars=len(t))
+        )
+    spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_chunk_gate_long_docs_match_udtf_twin(spark, tmp_path):
+    """The explode+window long-doc path must reproduce the UDTF twin
+    byte-for-byte (same floor-div rule, same merge semantics) on docs
+    straddling the gate — chunk ids, counts and rebuilt text."""
+    sf = _long_doc_fixture(spark, tmp_path)
+    jvm = registry.QUERIES["text_chunk_token_budget"](spark, sf).toPandas()
+    udtf = registry.QUERIES["text_chunk_token_budget_udtf"](
+        spark, sf
+    ).toPandas()
+    assert_frames_match(jvm, udtf, "chunk_gate_twin")
+    # both physical paths genuinely exercised: chunks exist for docs on
+    # each side of the gate
+    assert (jvm["doc_id"] < 3).any() and (jvm["doc_id"] >= 3).any()
+
+
+def test_chunk_gate_rebuild_roundtrip(spark, tmp_path):
+    """Concatenating each long doc's chunk_text in chunk order must
+    rebuild the document exactly (the order-sensitive collect_list +
+    struct sort in the window path is the risky piece)."""
+    sf = _long_doc_fixture(spark, tmp_path)
+    out = registry.QUERIES["text_chunk_token_budget"](spark, sf).toPandas()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    for doc_id, grp in out.groupby("doc_id"):
+        rebuilt = " ".join(
+            grp.sort_values("chunk_id")["chunk_text"].tolist()
+        )
+        assert rebuilt == docs[doc_id].lower(), f"doc {doc_id} mangled"
