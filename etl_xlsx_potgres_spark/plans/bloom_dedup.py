@@ -173,7 +173,10 @@ def dedup_bloom_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact = batch.join(
         _size_aware_broadcast(
-            spark, sf_dir, corpus.distinct().withColumn("seen", F.lit(True))
+            spark, sf_dir,
+            corpus.distinct().withColumn("seen", F.lit(True)),
+            table="documents",  # the frame scales with documents, not
+            # the default embeddings — the gate must watch that table
         ),
         "k",
         "left",

@@ -83,9 +83,12 @@ def _caption_emb(text):
 
     out = []
     for t in text:
+        # NULL text must behave like empty text (zero vector), not the
+        # literal string 'None' — the oracle NULL-propagates to []
+        s = t if isinstance(t, str) else ""
         toks = [
             w
-            for w in _RE2_WS.split(str(t).strip(_ZS_CHARS).lower())
+            for w in _RE2_WS.split(s.strip(_ZS_CHARS).lower())
             if w
         ]
         if not toks:
@@ -115,7 +118,12 @@ def _caption_emb(text):
     ),
     scored AS (
       SELECT t.doc_id,
-             {_duck_cos("t.temb", "e.embedding")} AS clip_score
+             CASE WHEN list_sum(list_transform(t.temb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+                   AND list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+                  THEN {_duck_cos("t.temb", "e.embedding")}
+             END AS clip_score
       FROM te t JOIN embeddings e ON e.vec_id = t.doc_id
     )
     SELECT doc_id, clip_score,
@@ -128,7 +136,13 @@ def mm_clip_pair_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     te = d.select("doc_id", _caption_emb("text").alias("temb"))
     pairs = te.join(e, te.doc_id == e.vec_id)
-    score = _dot("temb", "embedding") / (_norm("temb") * _norm("embedding"))
+    # norm > 0 guard on BOTH engines: a zero-norm side divides by zero,
+    # which is NULL in Spark but NaN (IEEE) in DuckDB — the explicit
+    # NULL makes the score engine-stable on degenerate captions
+    score = F.when(
+        (_norm(F.col("temb")) > 0) & (_norm(F.col("embedding")) > 0),
+        _dot("temb", "embedding") / (_norm("temb") * _norm("embedding")),
+    )
     return pairs.select(
         "doc_id",
         score.alias("clip_score"),

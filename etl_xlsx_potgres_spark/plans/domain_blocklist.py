@@ -94,8 +94,10 @@ _DUCK_BLOCKLIST_VALUES = ", ".join(f"('{e}')" for e in BLOCKLIST)
 def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     hosts = d.select("doc_id", F.expr(_SPARK_HOST).alias("host"))
-    bl = spark.createDataFrame([(e,) for e in BLOCKLIST], ["entry"])
-    bl = F.broadcast(bl)
+    blocklist_df = spark.createDataFrame(
+        [(e,) for e in BLOCKLIST], ["entry"]
+    )
+    blocklist_df = F.broadcast(blocklist_df)
     sufs = (
         hosts.withColumn("labels", F.split("host", "\\."))
         .select(
@@ -105,7 +107,7 @@ def filter_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join on the exploded suffix; rollup restores doc grain.
     # min() makes the reported entry deterministic when several match.
     verdict = (
-        sufs.join(bl, sufs.suffix == bl.entry)
+        sufs.join(blocklist_df, sufs.suffix == blocklist_df.entry)
         .groupBy("doc_id")
         .agg(F.min("entry").alias("matched_entry"))
     )

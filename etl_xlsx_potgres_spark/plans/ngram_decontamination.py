@@ -118,7 +118,13 @@ def contamination_ngram13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(True))
     )
     roll = (
-        tg.join(_size_aware_broadcast(spark, sf_dir, ev), "g", "left")
+        # the benchmark gram set derives from documents (every-16th-doc
+        # windows), so the broadcast gate must watch THAT table's size
+        tg.join(
+            _size_aware_broadcast(spark, sf_dir, ev, table="documents"),
+            "g",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -253,10 +253,15 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # N_WORDS = 16 bigint rows at ANY
                                           # corpus size — constant by the
                                           # sketch's definition (bloom_dedup)
-        "bl",                             # the domain blocklist: a fixed
+        "blocklist_df",                   # the domain blocklist: a fixed
                                           # curated list (4 fixture rows;
                                           # UT1-scale lists are still MBs),
                                           # data-size-free (domain_blocklist)
+        "levels",                         # the probe-level axis of the ANN
+                                          # operating curve: exactly
+                                          # len(PROBE_LEVELS)=4 constant
+                                          # rows at ANY corpus size
+                                          # (ann_recall_curve)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []
