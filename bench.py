@@ -35,10 +35,15 @@ from etl_xlsx_potgres_spark.session import get_spark
 HEADLINE: list[str] | None = None
 
 
-def load_flag(loadavg_1m: list[float], cpus: int) -> bool:
+def load_flag(
+    loadavg_1m: list[float],
+    cpus: int,
+    ratio_stats: dict | None = None,
+    anchor_loadavg: list[float] | None = None,
+) -> bool:
     """True when the run's loadavg profile shows external load.
 
-    Three signals (each alone suffices):
+    Four signals (each alone suffices):
     - start sample > 0.15*cpus: the bench hasn't run yet, so any load
       at start is external (r14 rule);
     - any sample > cpus: the bench's own load tops out at the worker
@@ -48,13 +53,32 @@ def load_flag(loadavg_1m: list[float], cpus: int) -> bool:
       quiet anchor): on a quiet host the between-pass 1-min samples
       decay below ~0.18*cpus (quiet-anchor ceiling 5.72/32 = 0.179);
       when at least half the in-run samples sit above that ceiling,
-      a sustained external contribution is riding under the bench.
+      a sustained external contribution is riding under the bench;
+    - DISPERSION vs the anchor's own quiet trace (r17, after the
+      driver's r16 run sampled 3.5-5.5 — under every absolute gate —
+      yet inflated overhead-dominated queries 2.4-4.3x): when ANY
+      sample exceeds 1.25x the committed anchor's own loadavg peak
+      AND at least two of the worst-3 anchor ratios exceed 2x, the
+      blowups track load, not code. Requiring two keeps a genuine
+      single-query regression from being mislabeled as load.
     """
     start, rest = loadavg_1m[0], loadavg_1m[1:]
     persistent = bool(rest) and 2 * sum(
         s > 0.18 * cpus for s in rest
     ) >= len(rest)
-    return start > 0.15 * cpus or max(loadavg_1m) > cpus or persistent
+    dispersion = False
+    if ratio_stats and anchor_loadavg:
+        elevated = any(
+            s > 1.25 * max(anchor_loadavg) for s in loadavg_1m
+        )
+        worst = [r for _, r in ratio_stats.get("worst3", [])]
+        dispersion = elevated and sum(r > 2.0 for r in worst) >= 2
+    return (
+        start > 0.15 * cpus
+        or max(loadavg_1m) > cpus
+        or persistent
+        or dispersion
+    )
 
 
 def _reference_equivalent_sec(spark) -> float:
@@ -212,10 +236,18 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_ANCHOR", os.path.join(repo, "BENCH_FULL.json")
     )
     ratio_stats = None
+    anchor_loadavg = None
     try:
         with open(anchor_path) as f:
             anchor = json.load(f)
         aq = anchor.get("queries", {})
+        la = anchor.get("loadavg_1m")
+        if (
+            isinstance(la, list)
+            and la
+            and all(isinstance(s, (int, float)) for s in la)
+        ):
+            anchor_loadavg = la
         pairs = sorted(
             ((round(times[n] / aq[n], 3), n) for n in times
              if n in aq and isinstance(aq[n], (int, float))
@@ -255,9 +287,10 @@ def main() -> None:
         # stay near (not far above) the worker count
         "loadavg_1m": loadavg_1m,
         "host_cpus": cpus,
-        # Three-part flag — see load_flag() for the signal rationale
-        # (start gate, absolute ceiling, persistent mid-run elevation).
-        "load_flag": load_flag(loadavg_1m, cpus),
+        # Four-part flag — see load_flag() for the signal rationale
+        # (start gate, absolute ceiling, persistent mid-run elevation,
+        # anchor-relative dispersion under elevated load).
+        "load_flag": load_flag(loadavg_1m, cpus, ratio_stats, anchor_loadavg),
         "ratio_vs_anchor": ratio_stats,
     }
 

@@ -56,3 +56,65 @@ def test_malformed_anchor_values_degrade_to_none(tmp_path, monkeypatch):
         if n in aq and isinstance(aq[n], (int, float)) and aq[n] > 0
     )
     assert pairs == []
+
+
+# --- r17: dispersion signal vs the anchor's quiet trace ---------------
+
+# the COMMITTED r16 driver profile (BENCH_r16.json): every sample under
+# the absolute gates, flag stayed False — yet overhead-dominated
+# queries inflated 2.4-4.3x vs the quiet anchor
+LOADED_R16_DRIVER = [4.6, 5.47, 3.69, 3.5, 5.47]
+R16_RATIO_STATS = {
+    "worst3": [
+        ["dedup_minhash_calibration", 4.284],
+        ["reference_pipeline_1200rows", 2.362],
+        ["orc_roundtrip_ingest", 1.508],
+    ]
+}
+QUIET_ANCHOR_TRACE = [0.5, 2.3, 2.6, 2.4, 2.5, 2.2, 2.6]
+
+
+def test_r16_driver_replay_flagged_by_dispersion():
+    assert (
+        bench.load_flag(
+            LOADED_R16_DRIVER, CPUS, R16_RATIO_STATS, QUIET_ANCHOR_TRACE
+        )
+        is True
+    )
+
+
+def test_quiet_run_with_benign_ratios_not_flagged():
+    quiet_run = [0.4, 2.5, 2.7, 2.3, 2.6]
+    benign = {"worst3": [["a", 1.3], ["b", 1.2], ["c", 1.1]]}
+    assert (
+        bench.load_flag(quiet_run, CPUS, benign, QUIET_ANCHOR_TRACE) is False
+    )
+
+
+def test_single_regression_under_load_not_mislabeled():
+    # one genuine >2x regression with otherwise tight ratios must NOT
+    # be absorbed into the load flag even when loadavg is elevated
+    one_bad = {"worst3": [["a", 3.5], ["b", 1.2], ["c", 1.1]]}
+    assert (
+        bench.load_flag(
+            LOADED_R16_DRIVER, CPUS, one_bad, QUIET_ANCHOR_TRACE
+        )
+        is False
+    )
+
+
+def test_dispersion_needs_elevated_load():
+    # blowups on a host at/below the anchor's own trace are code, not
+    # load — the dispersion signal must stay silent
+    quiet_run = [0.4, 2.5, 2.7, 2.3, 2.6]
+    assert (
+        bench.load_flag(
+            quiet_run, CPUS, R16_RATIO_STATS, QUIET_ANCHOR_TRACE
+        )
+        is False
+    )
+
+
+def test_missing_anchor_degrades_to_three_signals():
+    assert bench.load_flag(LOADED_R16_DRIVER, CPUS, None, None) is False
+    assert bench.load_flag(LOADED_R15_DRIVER, CPUS, None, None) is True
