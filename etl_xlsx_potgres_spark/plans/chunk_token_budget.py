@@ -177,11 +177,19 @@ LONG_DOC_WORDS = 512
 
 
 def _costed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("toks")).filter(
         F.size("toks") > 0
     )
-    return base.crossJoin(F.broadcast(_merges_row(spark, sf_dir))).select(
+    # the 1-row merges frame is persisted because BOTH gate branches
+    # consume this costed frame: without the barrier each branch's
+    # subtree carries its own copy of the entire BPE-training pipeline
+    # (the corpus word-count shuffle runs twice — seen in the r17 plan
+    # audit, 16 Exchanges vs 8)
+    merges = scoped_persist(_merges_row(spark, sf_dir))
+    return base.crossJoin(F.broadcast(merges)).select(
         "doc_id", "toks", F.expr(_cost_expr("spark")).alias("costs")
     )
 

@@ -228,13 +228,10 @@ def capped_band_rows(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
-    """(d1, d2, band_id) candidate pairs from the capped banded
-    self-join — ≤ cap(cap-1)/2 pairs per band bucket, shuffle keyed on
-    (band_id, band_key) only.  Shared by ``dedup_minhash_lsh_pairs``,
-    ``dedup_minhash_calibration`` and ``dedup_connected_components``
-    (advice r16: one geometry, one place)."""
-    bands = capped_band_rows(sig, cap)
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Banded self-join over prepared (doc_id, band_id, band_key) rows
+    — callers that reuse the band frame on both sides should persist
+    it so the signature+cap subtree runs once."""
     a = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_key")
     b = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_key")
     return (
@@ -242,6 +239,15 @@ def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "band_id")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    """(d1, d2, band_id) candidate pairs from the capped banded
+    self-join — ≤ cap(cap-1)/2 pairs per band bucket, shuffle keyed on
+    (band_id, band_key) only.  Shared by ``dedup_minhash_lsh_pairs``,
+    ``dedup_minhash_calibration`` and ``dedup_connected_components``
+    (advice r16: one geometry, one place)."""
+    return pairs_from_bands(capped_band_rows(sig, cap))
 
 
 # LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
@@ -260,12 +266,14 @@ def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # persisted: the signature subplan (shingle explode + 8 md5/shingle
-    # + groupBy-min) feeds both sides of the banded self-join; without
-    # the barrier it runs twice
-    sig = scoped_persist(_minhash_sig_df(d).filter(F.col("mh0").isNotNull()))
+    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
+    # persist the CAPPED band rows, not just the signature: both join
+    # sides read the same 3-column cache, so the signature subplan AND
+    # the occupancy-cap window run once (persisting only sig left the
+    # window executing per side — seen in the r17 plan audit)
+    bands = scoped_persist(capped_band_rows(sig))
     return (
-        lsh_candidate_pairs(sig)
+        pairs_from_bands(bands)
         .groupBy("d1", "d2")
         .agg(F.countDistinct("band_id").alias("n_shared_bands"))
     )

@@ -58,7 +58,12 @@ BUDGETS = {
     "dedup_simhash_signatures": 1,
     "text_oov_rate": 4,  # term agg + top-K rank plumbing; doc side is map-only (r9 rewrite)
     "dedup_ngram_jaccard": 4,
-    "dedup_minhash_lsh_pairs": 2,
+    "dedup_minhash_lsh_pairs": 4,     # shingle-stitch window + the r17
+                                      # occupancy-cap window (runs as
+                                      # WindowGroupLimit — the hot-band
+                                      # quadratic guard) + countDistinct
+                                      # two-phase; capped bands persisted
+                                      # so sig+cap compute once
     "agg_percentiles": 1,
     "skew_salted_join": 2,
     "contamination_train_test": 7,
@@ -242,21 +247,32 @@ BUDGETS = {
                                       # multiplicity computed in-row,
                                       # not via a (doc,bigram) agg) —
                                       # map-only by contract
-    "text_chunk_token_budget": 8,     # BPE training's word-count
+    "text_chunk_token_budget": 9,     # BPE training's word-count
                                       # shuffle + per-round vocab-sized
-                                      # pair aggs/top-1 plumbing;
-                                      # costing + chunking are map-only
-                                      # (1-row merge broadcasts)
+                                      # pair aggs/top-1 plumbing
+                                      # (training subtree shared via the
+                                      # persisted 1-row merges frame) +
+                                      # the r17 long-doc branch's
+                                      # per-document running-sum window
+                                      # — the linear path for book-
+                                      # length docs; short docs stay
+                                      # map-only
     "text_chunk_token_budget_udtf": 8,  # same training subtree; the
                                         # UDTF lateral join is map-side
     "dedup_incremental_exact": 3,     # re-crawl synthesis join + probe
                                       # shuffle into the store bucketing
                                       # + per-doc rollup; history side
                                       # Exchange-free (plan-asserted)
-    "dedup_incremental_semantic": 3,  # batch argmax-cosine assignment
-                                      # agg + probe shuffle + verdict
-                                      # rollup; cents broadcast,
-                                      # history side Exchange-free
+    "dedup_incremental_semantic": 5,  # r17 two-level assignment: the
+                                      # coarse argmin agg + the fine
+                                      # argmin agg (one extra SLIM
+                                      # (vec_id, embedding) shuffle —
+                                      # the price of N*(C+K/C) distance
+                                      # evals instead of N*K) + probe
+                                      # shuffle + verdict rollup +
+                                      # centroid-frame plumbing; cents
+                                      # broadcasts size-gated, history
+                                      # side Exchange-free
     "quality_c4_filters": 0,          # line synth + line filter + page
                                       # verdict all row-local array
                                       # HOFs — map-only by contract
