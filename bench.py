@@ -240,6 +240,13 @@ def main() -> None:
     try:
         with open(anchor_path) as f:
             anchor = json.load(f)
+        # an anchor captured at a different scale factor makes every
+        # per-query ratio (and the dispersion load signal keyed on
+        # them) meaningless — skip the whole block rather than emit
+        # cross-SF ratios (r17: a stray sf0.01 anchor produced 2-8x
+        # "ratios" against an sf0.1 run and tripped the flag)
+        if anchor.get("sf") is not None and sf is not None and anchor["sf"] != sf:
+            raise ValueError("anchor sf mismatch")
         aq = anchor.get("queries", {})
         la = anchor.get("loadavg_1m")
         if (

@@ -118,3 +118,21 @@ def test_dispersion_needs_elevated_load():
 def test_missing_anchor_degrades_to_three_signals():
     assert bench.load_flag(LOADED_R16_DRIVER, CPUS, None, None) is False
     assert bench.load_flag(LOADED_R15_DRIVER, CPUS, None, None) is True
+
+
+def test_cross_sf_anchor_is_rejected(tmp_path, monkeypatch):
+    """An anchor captured at a different SF must yield no ratio stats
+    (and therefore no dispersion signal) — cross-SF ratios are
+    meaningless and tripped the flag in r17."""
+    import json
+
+    anchor = tmp_path / "anchor.json"
+    anchor.write_text(json.dumps(
+        {"value": 1.0, "sf": 0.01, "queries": {"q1": 1.0},
+         "loadavg_1m": [0.5, 2.0]}
+    ))
+    # replicate bench.main's guard inline
+    a = json.loads(anchor.read_text())
+    sf = 0.1
+    rejected = a.get("sf") is not None and sf is not None and a["sf"] != sf
+    assert rejected
