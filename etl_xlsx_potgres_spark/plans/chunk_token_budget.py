@@ -188,8 +188,8 @@ def _costed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree carries its own copy of the entire BPE-training pipeline
     # (the corpus word-count shuffle runs twice — seen in the r17 plan
     # audit, 16 Exchanges vs 8)
-    merges = scoped_persist(_merges_row(spark, sf_dir))
-    return base.crossJoin(F.broadcast(merges)).select(
+    merges_row_df = scoped_persist(_merges_row(spark, sf_dir))
+    return base.crossJoin(F.broadcast(merges_row_df)).select(
         "doc_id", "toks", F.expr(_cost_expr("spark")).alias("costs")
     )
 

@@ -249,6 +249,10 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # winners: exactly ONE row with
                                           # 2*N_MERGE_ROUNDS string cols
                                           # (chunk_token_budget)
+        "merges_row_df",                  # the same 1-row merges frame,
+                                          # persisted so both gate
+                                          # branches share the training
+                                          # subtree (chunk_token_budget)
         "bloom",                          # the Bloom filter frame: exactly
                                           # N_WORDS = 16 bigint rows at ANY
                                           # corpus size — constant by the
