@@ -236,3 +236,26 @@ def test_chunk_gate_rebuild_roundtrip(spark, tmp_path):
             grp.sort_values("chunk_id")["chunk_text"].tolist()
         )
         assert rebuilt == docs[doc_id].lower(), f"doc {doc_id} mangled"
+
+
+# ------------------------------------------------- ANN operating curve
+
+def test_ann_curve_ivf_recall_monotone_in_probes(spark, sf_dir):
+    """For the IVF method the candidate set grows with n_probe and the
+    rerank is by exact score with a total-order tiebreak, so overlap
+    with the exact top-k is mathematically non-decreasing — a strict
+    decrease means the level filter or the shared scored frame is
+    broken. (IVF-PQ is NOT asserted monotone: its shortlist is ranked
+    by quantized ADC distance, so more candidates can displace a true
+    neighbor from the shortlist.)"""
+    rows = registry.QUERIES["ann_recall_curve"](spark, sf_dir).collect()
+    ivf = sorted(
+        ((r.n_probe, r.n_hits) for r in rows if r.method == "ivf")
+    )
+    hits = [h for _, h in ivf]
+    assert hits == sorted(hits), f"ivf hits not monotone: {ivf}"
+    cands = sorted(
+        ((r.n_probe, r.n_candidates) for r in rows if r.method == "ivf")
+    )
+    c = [x for _, x in cands]
+    assert c == sorted(c) and c[0] < c[-1], f"candidate axis broken: {cands}"
