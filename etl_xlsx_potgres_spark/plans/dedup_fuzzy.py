@@ -149,10 +149,18 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB dedup run even though every shuffle key is correct.  The cap
 # keeps the top-K documents per bucket by doc_id (deterministic,
 # engine-portable: row_number over an ORDER BY on the unique key),
-# bounding candidates at K(K-1)/2 per bucket; dropped docs in a hot
-# bucket still pair with the K survivors' cluster via their OTHER
-# bands in the common case, and `dedup_minhash_band_stats` reports
-# exactly what the cap clipped as hash-checked data.
+# bounding the SELF-JOIN at K(K-1)/2 pairs per bucket.  Clipping
+# alone, though, severs whole clusters (ADVICE r17): when documents
+# share an entire signature — exactly the boilerplate pathology the
+# cap targets — all their band buckets are the SAME hot bucket, the
+# same smallest doc_ids win every one, and members beyond the cap
+# lose every candidate edge.  So every bucket additionally emits STAR
+# edges — (bucket minimum doc_id, member) for each member — which is
+# B-1 rows per bucket (linear, a groupBy-min plus an equi-join on the
+# band key the bucket is already shuffled on, never quadratic) and
+# keeps every clipped member connected to its bucket's cluster for
+# the components/calibration consumers.  `dedup_minhash_band_stats`
+# reports both the clipping and the star volume as hash-checked data.
 BAND_CAP = 8
 
 # Shared oracle-side band geometry (single source of truth — the
@@ -180,11 +188,20 @@ _BANDS_SQL = f"""
     )"""
 
 _CAND_SQL = """
+    band_mins AS (
+      SELECT band_id, band_key, MIN(doc_id) AS leader
+      FROM bands GROUP BY band_id, band_key
+    ),
     cand AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, a.band_id
       FROM capped_bands a JOIN capped_bands b
         ON a.band_key = b.band_key AND a.band_id = b.band_id
        AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT m.leader AS d1, b.doc_id AS d2, b.band_id
+      FROM bands b JOIN band_mins m
+        ON m.band_id = b.band_id AND m.band_key = b.band_key
+      WHERE b.doc_id > m.leader
     )"""
 
 
@@ -210,21 +227,45 @@ def band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
-def capped_band_rows(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+def ranked_band_rows(bands: DataFrame, cap: int = BAND_CAP) -> DataFrame:
     """Band rows with at most ``cap`` documents per (band_id, band_key)
-    bucket (smallest doc_ids win — deterministic).  The row_number
-    window shuffles on exactly the key the candidate self-join needs,
-    so the cap costs no extra Exchange on that side; within a hot
-    bucket the window pass is linear in occupancy (the B² blowup it
-    prevents was in the join, not here)."""
+    bucket (smallest doc_ids win — deterministic), band_rank kept so
+    rank 1 doubles as the bucket leader for the star-edge leg.  The
+    row_number window shuffles on exactly the key the candidate
+    self-join needs, so the cap costs no extra Exchange on that side;
+    within a hot bucket the window pass is linear in occupancy (the
+    B² blowup it prevents was in the join, not here)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    return bands.withColumn("band_rank", F.row_number().over(w)).filter(
+        F.col("band_rank") <= cap
+    )
+
+
+def capped_band_rows(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
+    return ranked_band_rows(band_rows(sig), cap).drop("band_rank")
+
+
+def star_edges(bands: DataFrame, ranked: DataFrame) -> DataFrame:
+    """(d1, d2, band_id): one edge from each band bucket's minimum
+    doc_id — the rank-1 survivor the cap already computed — to every
+    other member: B-1 rows per bucket, LINEAR in occupancy, so clipped
+    members of a hot bucket stay connected to its cluster (ADVICE r17:
+    clipping alone severed exact-duplicate clusters whose every band
+    is the same hot bucket).  Reusing the window's rank 1 instead of a
+    fresh groupBy-min keeps the leader frame on the (band_id,
+    band_key) partitioning the window produced, and the member side's
+    join Exchange is byte-identical to the window's input Exchange —
+    Spark reuses it, so the star leg adds no new shuffle pass over the
+    band frame."""
+    leaders = ranked.filter(F.col("band_rank") == 1).select(
+        "band_id", "band_key", F.col("doc_id").alias("d1")
+    )
     return (
-        band_rows(sig)
-        .withColumn("band_rank", F.row_number().over(w))
-        .filter(F.col("band_rank") <= cap)
-        .drop("band_rank")
+        bands.join(leaders, ["band_id", "band_key"])
+        .filter(F.col("doc_id") > F.col("d1"))
+        .select("d1", F.col("doc_id").alias("d2"), "band_id")
     )
 
 
@@ -242,12 +283,23 @@ def pairs_from_bands(bands: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
-    """(d1, d2, band_id) candidate pairs from the capped banded
-    self-join — ≤ cap(cap-1)/2 pairs per band bucket, shuffle keyed on
-    (band_id, band_key) only.  Shared by ``dedup_minhash_lsh_pairs``,
-    ``dedup_minhash_calibration`` and ``dedup_connected_components``
-    (advice r16: one geometry, one place)."""
-    return pairs_from_bands(capped_band_rows(sig, cap))
+    """(d1, d2, band_id) candidate pairs: the capped banded self-join
+    (≤ cap(cap-1)/2 pairs per band bucket) UNION the linear star
+    edges (leader→member per bucket, so clipped docs keep their
+    cluster edge), shuffle keyed on (band_id, band_key) only.  Both
+    legs read ONE persisted band frame (the signature subplan and the
+    band explode run once); the capped frame is persisted too so the
+    occupancy-cap window runs once, not per join side.  Shared by
+    ``dedup_minhash_lsh_pairs``, ``dedup_minhash_calibration`` and
+    ``dedup_connected_components`` (advice r16: one geometry, one
+    place).  Emits duplicates across legs (a leader↔survivor pair
+    appears in both) and across bands — consumers dedup by (d1, d2)
+    or count distinct band_id, as before."""
+    bands = scoped_persist(band_rows(sig))
+    ranked = scoped_persist(ranked_band_rows(bands, cap))
+    return pairs_from_bands(ranked.drop("band_rank")).unionByName(
+        star_edges(bands, ranked)
+    )
 
 
 # LSH banding over the MinHash signature: 4 bands x 2 rows. Documents
@@ -267,13 +319,11 @@ def lsh_candidate_pairs(sig: DataFrame, cap: int = BAND_CAP) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
-    # persist the CAPPED band rows, not just the signature: both join
-    # sides read the same 3-column cache, so the signature subplan AND
-    # the occupancy-cap window run once (persisting only sig left the
-    # window executing per side — seen in the r17 plan audit)
-    bands = scoped_persist(capped_band_rows(sig))
+    # persistence lives inside lsh_candidate_pairs: both join sides
+    # and the star leg read one cached band frame, and the
+    # occupancy-cap window runs once (r17 plan audit), not per side
     return (
-        pairs_from_bands(bands)
+        lsh_candidate_pairs(sig)
         .groupBy("d1", "d2")
         .agg(F.countDistinct("band_id").alias("n_shared_bands"))
     )
@@ -284,7 +334,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate-pair totals — the cap reported as hash-checked DATA, so a
 # corpus whose hot bands start clipping real volume shows up as a
 # value change, not a silent perf cliff. (n*(n-1) is always even, so
-# integer DIV 2 is exact in both engines.)
+# integer DIV 2 is exact in both engines.)  pairs_star counts the
+# leader→member star edges each bucket emits (n-1, linear);
+# pairs_effective is the distinct candidate-pair total after the
+# star/self-join union — capped join pairs plus the star edges that
+# reach CLIPPED members (leader↔survivor stars duplicate join pairs).
 @register(
     "dedup_minhash_band_stats",
     oracle=f"""
@@ -300,7 +354,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n - LEAST(n, {BAND_CAP})) AS BIGINT) AS n_docs_clipped,
            CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pairs_uncapped,
            CAST(SUM(LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) // 2)
-                AS BIGINT) AS pairs_capped
+                AS BIGINT) AS pairs_capped,
+           CAST(SUM(n - 1) AS BIGINT) AS pairs_star,
+           CAST(SUM(LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) // 2
+                    + GREATEST(n - {BAND_CAP}, 0)) AS BIGINT)
+             AS pairs_effective
     FROM occ GROUP BY n
     """,
 )
@@ -322,6 +380,13 @@ def dedup_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) DIV 2"
             )
         ).cast("long").alias("pairs_capped"),
+        F.sum(F.col("n") - 1).cast("long").alias("pairs_star"),
+        F.sum(
+            F.expr(
+                f"LEAST(n, {BAND_CAP}) * (LEAST(n, {BAND_CAP}) - 1) DIV 2"
+                f" + GREATEST(n - {BAND_CAP}, 0)"
+            )
+        ).cast("long").alias("pairs_effective"),
     )
 
 

@@ -15,10 +15,12 @@ sweep):
   cheapest tier, a pure key-probe (the verdict needs no verify
   stage).
 - Semantic (SemDeDup-style): history rows ``(vec_id, cid,
-  embedding)`` bucketed on the k-means cell id — a new vector
-  assigns to its nearest centroid (``min(struct)`` argmax-cosine,
-  map-side partials) and compares exact cosines ONLY within its
-  cell's history list (cosine >= {COS_T}, the fixture-calibrated
+  embedding)`` bucketed on the cell id — cells are seeded by a
+  MAP-ONLY md5-coin (no window, no sort; see the section comment), a
+  new vector probes its top-{SEM_N_PROBE} cells (``min(struct)``
+  argmax-cosine, map-side partials, rank-2 by exclusion) and
+  compares exact cosines ONLY within the probed cells' history
+  lists (cosine >= {COS_T}, the fixture-calibrated
   ``dedup_embedding_neardup`` threshold); at production scale the
   cells are SemDeDup's K lists and the store scan per batch touches
   only probed buckets.
@@ -57,7 +59,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import fingerprint, shingles_long
@@ -65,6 +67,7 @@ from ..registry import register
 from ..sources import load_table
 from .dedup_fuzzy import _DUCK_SHINGLES, _NORM
 from .dedup_incremental import N_BUCKETS, _store_root
+from .importance_sampling import _duck_hex6
 from .similarity import _dot, _duck_cos, _norm
 
 HAM_T = 8          # max Hamming distance (of 64) for a simhash near-dup
@@ -74,6 +77,7 @@ SIM_BANDS = 4      # 4 bands x 16 bits — 65536-key band space
 SIM_BAND_W = SIM_BITS // SIM_BANDS
 SEM_MIN_CELLS = 16     # floor of the scaled cell count
 SEM_CELL_SIZE = 64     # target history vectors per cell (cells ~ N/64)
+SEM_N_PROBE = 2    # cells probed per new vector (IVF probe discipline)
 COS_T = 0.4        # the dedup_embedding_neardup fixture threshold
 
 
@@ -491,6 +495,29 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- Semantic (SemDeDup-style in-cell compare) ------------------------
+#
+# Centroid seeding is a MAP-ONLY md5-coin (r18, closing the r17
+# verdict's last scale defect): a history vector is a cell seed iff
+# its coin — the first 6 md5 hex digits as an integer, uniform in
+# [0, 16^6) — clears a threshold of expected rate 1/SEM_CELL_SIZE
+# (so K ~ N/64, the SemDeDup scaling knob), widened to
+# SEM_MIN_CELLS/n for small histories.  Coarse seeds thin the SAME
+# coin by a further 1/ceil(sqrt(K_expected)) so C ~ sqrt(K), keeping
+# the two-level assignment at N x (C + K/C) evals.  The coin
+# thresholds need exactly two data-dependent scalars — COUNT(*) and
+# MIN(coin) over the history — computed as one tree-reduced aggregate
+# and broadcast back: the only shuffle moves one partial-aggregate
+# row per PARTITION (never a vector row), vs the r17 scheme's global
+# no-partition row_number/count windows that sorted ALL history
+# vectors in a single task.  MIN(coin) is the hard >=1 floor: the
+# minimum-coin vector is always both a seed and a coarse seed, so
+# seeding can never come up empty however the coins fall.  All
+# threshold arithmetic is BIGINT (coin < 2^24; products stay far from
+# overflow), bit-exact across Spark and DuckDB.
+
+HEX6 = 16 ** 6  # the md5-coin space: first 6 hex digits as an integer
+
+_SEM_DUCK_COIN = _duck_hex6("md5(CAST(vec_id AS VARCHAR))")
 
 _SEM_ORACLE = f"""
 WITH hvecs AS (
@@ -501,19 +528,29 @@ nvecs AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id % 10 = 0
 ),
+hstats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         MIN({_SEM_DUCK_COIN}) AS mincoin
+  FROM hvecs
+),
+coined AS (
+  SELECT vec_id, embedding, {_SEM_DUCK_COIN} AS coin, s.n, s.mincoin,
+         CAST(ceil(sqrt(greatest(s.n // {SEM_CELL_SIZE},
+                                 {SEM_MIN_CELLS}))) AS BIGINT) AS cs
+  FROM hvecs CROSS JOIN hstats s
+),
 cents AS (
-  SELECT cid, cv, rk FROM (
-    SELECT vec_id AS cid, embedding AS cv,
-           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                              vec_id) AS rk,
-           COUNT(*) OVER () AS n
-    FROM hvecs)
-  WHERE rk <= greatest({SEM_MIN_CELLS}, n // {SEM_CELL_SIZE})
+  SELECT vec_id AS cid, embedding AS cv,
+         (coin * {SEM_CELL_SIZE} * cs < {HEX6}
+          OR coin * n * cs < {HEX6} * {SEM_MIN_CELLS}
+          OR coin = mincoin) AS is_coarse
+  FROM coined
+  WHERE coin * {SEM_CELL_SIZE} < {HEX6}
+     OR coin * n < {HEX6} * {SEM_MIN_CELLS}
+     OR coin = mincoin
 ),
 coarse AS (
-  SELECT cid AS gid, cv AS gv FROM (
-    SELECT cid, cv, rk, COUNT(*) OVER () AS k FROM cents)
-  WHERE rk <= CAST(ceil(sqrt(k)) AS INT)
+  SELECT cid AS gid, cv AS gv FROM cents WHERE is_coarse
 ),
 c2g AS (
   SELECT cid, cv, gid FROM (
@@ -541,14 +578,14 @@ nv2g AS (
     SELECT v.vec_id, v.embedding, g.gid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              {_duck_cos("v.embedding", "g.gv")} DESC, g.gid) AS grn
-    FROM nvecs v CROSS JOIN coarse g) WHERE grn = 1
+    FROM nvecs v CROSS JOIN coarse g) WHERE grn <= {SEM_N_PROBE}
 ),
 nassign AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT v.vec_id, v.embedding, s.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              {_duck_cos("v.embedding", "s.cv")} DESC, s.cid) AS arn
-    FROM nv2g v JOIN c2g s ON s.gid = v.gid) WHERE arn = 1
+    FROM nv2g v JOIN c2g s ON s.gid = v.gid) WHERE arn <= {SEM_N_PROBE}
 ),
 per AS (
   SELECT n.vec_id,
@@ -570,44 +607,57 @@ LEFT JOIN per ON per.vec_id = d.vec_id
 
 
 def _sem_cents(hist: DataFrame) -> DataFrame:
-    """Deterministic hash-ordered centroid seeds (cid, cv, rk), count
-    SCALED with the history (~{SEM_CELL_SIZE} vectors per cell): a
-    fixed cell count makes in-cell candidate pairs quadratic in N —
-    the r16 probe measured 16.6x wall at 10x data with 16 fixed
-    cells, vs near-linear once cells track N.  This mirrors SemDeDup's
-    K scaling; the global row_number seed rank is fixture-scale
-    machinery — production seeds come from sampled k-means."""
-    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    return (
-        hist.select(
-            "vec_id",
-            "embedding",
-            F.row_number().over(w).alias("rk"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy(F.lit(1))
-            ).alias("n"),
-        )
-        .filter(
-            F.col("rk")
-            <= F.greatest(
-                F.lit(SEM_MIN_CELLS), F.expr(f"n DIV {SEM_CELL_SIZE}")
-            )
-        )
-        .select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"), "rk"
-        )
+    """Md5-coin centroid seeds (cid, cv, is_coarse), count SCALED with
+    the history (~{SEM_CELL_SIZE} vectors per cell — fixed cell counts
+    make in-cell pairs quadratic in N; the r16 probe measured 16.6x
+    wall at 10x data with 16 fixed cells).  MAP-ONLY (r18): each
+    vector decides seedhood from its own coin plus two broadcast
+    scalars (history count, minimum coin); the r17 hash-ordered
+    row_number rank sorted ALL history vectors through one
+    no-partition window — the single-task shape the 100-TB brief
+    forbids.  The minimum-coin vector is always a (coarse) seed, so
+    the cell set is never empty.  Mirrors SemDeDup's K scaling
+    (production seeds come from sampled k-means); the oracle replays
+    the identical integer coin arithmetic."""
+    coin = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    coined = hist.select("vec_id", "embedding", coin.alias("coin"))
+    stats = coined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("coin").alias("mincoin"),
+    )
+    seeded = coined.crossJoin(F.broadcast(stats)).withColumn(
+        "cs",
+        F.expr(
+            f"CAST(ceil(sqrt(greatest(n DIV {SEM_CELL_SIZE},"
+            f" {SEM_MIN_CELLS}))) AS BIGINT)"
+        ),
+    )
+    is_floor = F.col("coin") == F.col("mincoin")
+    is_seed = (
+        (F.col("coin") * SEM_CELL_SIZE < HEX6)
+        | (F.col("coin") * F.col("n") < HEX6 * SEM_MIN_CELLS)
+        | is_floor
+    )
+    is_coarse = (
+        (F.col("coin") * SEM_CELL_SIZE * F.col("cs") < HEX6)
+        | (F.col("coin") * F.col("n") * F.col("cs") < HEX6 * SEM_MIN_CELLS)
+        | is_floor
+    )
+    return seeded.filter(is_seed).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        is_coarse.alias("is_coarse"),
     )
 
 
 def _sem_coarse(cents: DataFrame) -> DataFrame:
-    """The first ceil(sqrt(K)) cells (hash order) as coarse group
-    seeds (gid, gv).  K is the cents frame's own row count — derived
-    as a window expression, never a driver-side action."""
-    w = Window.partitionBy(F.lit(1))
-    return (
-        cents.withColumn("k", F.count(F.lit(1)).over(w))
-        .filter(F.col("rk") <= F.expr("CAST(ceil(sqrt(k)) AS INT)"))
-        .select(F.col("cid").alias("gid"), F.col("cv").alias("gv"))
+    """The ~1/ceil(sqrt(K)) coin-thinned cells as coarse group seeds
+    (gid, gv) — a pure filter on the cents frame's own is_coarse
+    column, no window, no action."""
+    return cents.filter("is_coarse").select(
+        F.col("cid").alias("gid"), F.col("cv").alias("gv")
     )
 
 
@@ -650,15 +700,7 @@ def _sem_assign(
     from .dedup_fuzzy import _size_aware_broadcast
 
     coarse = _sem_coarse(cents)
-    # fine cell -> coarse group (K x C rows, both centroid-sized)
-    c2g = _argmin_cos(
-        cents.select(F.col("cid").alias("vec_id"), F.col("cv"))
-        .crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
-        "cv",
-        "gv",
-        "gid",
-        "gid",
-    ).select(F.col("vec_id").alias("cid"), "cv", "gid")
+    c2g = _sem_c2g(spark, sf_dir, cents, coarse)
     # vector -> coarse group: N x C evals, one N-row shuffle
     v2g = _argmin_cos(
         vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
@@ -676,6 +718,81 @@ def _sem_assign(
         "cid",
         "cid",
     )
+
+
+def _sem_c2g(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, coarse: DataFrame
+) -> DataFrame:
+    """Fine cell -> coarse group (K x C evals, both centroid-sized)."""
+    from .dedup_fuzzy import _size_aware_broadcast
+
+    return _argmin_cos(
+        cents.select(F.col("cid").alias("vec_id"), F.col("cv"))
+        .crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
+        "cv",
+        "gv",
+        "gid",
+        "gid",
+    ).select(F.col("vec_id").alias("cid"), "cv", "gid")
+
+
+def _sem_probe(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """(vec_id, embedding, cid) x up to {SEM_N_PROBE} probed cells per
+    NEW vector — IVF probe discipline (r18): the r17 single-cell
+    assignment missed near-dup pairs whose two sides fall just either
+    side of a cell boundary (the md5-coin reseeding surfaced this: the
+    sf0.001 fixture's 10 true pairs all have cosine < 0.46, and ALL
+    split across cells under top-1 probing).  The new batch probes its
+    top-{SEM_N_PROBE} coarse groups, then the top-{SEM_N_PROBE} fine
+    cells within their union.  Top-2 stays a map-side-partial argmin
+    (no window, no collect_list): rank 2 = argmin over the candidate
+    set with rank 1 excluded by id — identical to ``row_number() <=
+    {SEM_N_PROBE}`` with the (cos DESC, id) tie-break, which is what
+    the oracle replays.  History stays single-assigned (each history
+    vector lives in exactly ONE store bucket), so probed cells are
+    disjoint and per-vector candidate counts never double-count."""
+    from .dedup_fuzzy import _size_aware_broadcast
+
+    coarse = _sem_coarse(cents)
+    c2g = _sem_c2g(spark, sf_dir, cents, coarse)
+    # top-2 coarse groups by exclusion argmin: N x C evals twice, two
+    # N-row shuffles
+    g1 = _argmin_cos(
+        vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
+        "embedding",
+        "gv",
+        "gid",
+        "g1",
+    )
+    g2 = _argmin_cos(
+        g1.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)).filter(
+            F.col("gid") != F.col("g1")
+        ),
+        "embedding",
+        "gv",
+        "gid",
+        "g2",
+    )
+    probeg = g1.select(
+        "vec_id", "embedding", F.col("g1").alias("gid")
+    ).unionByName(g2.select("vec_id", "embedding", F.col("g2").alias("gid")))
+    # candidate cells = the probed groups' cells: ~N*probe x K/C evals
+    cand = probeg.join(_size_aware_broadcast(spark, sf_dir, c2g), "gid")
+    f1 = _argmin_cos(cand, "embedding", "cv", "cid", "c1")
+    f2 = _argmin_cos(
+        cand.join(f1.select("vec_id", "c1"), "vec_id").filter(
+            F.col("cid") != F.col("c1")
+        ),
+        "embedding",
+        "cv",
+        "cid",
+        "c2",
+    )
+    return f1.select(
+        "vec_id", "embedding", F.col("c1").alias("cid")
+    ).unionByName(f2.select("vec_id", "embedding", F.col("c2").alias("cid")))
 
 
 def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
@@ -706,8 +823,11 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     newv = emb.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id", "embedding"
     )
-    # the SAME deterministic centroid pick the store was built with
-    nassign = _sem_assign(spark, sf_dir, newv, _sem_cents(hist_src))
+    # the SAME deterministic centroid pick the store was built with,
+    # probing SEM_N_PROBE cells per new vector (probed cells are
+    # disjoint — history is single-assigned — so counts never
+    # double-count a history vector)
+    nassign = _sem_probe(spark, sf_dir, newv, _sem_cents(hist_src))
     cos = _dot(F.col("embedding"), F.col("hemb")) / (
         _norm(F.col("embedding")) * _norm(F.col("hemb"))
     )

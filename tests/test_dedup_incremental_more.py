@@ -112,7 +112,7 @@ def test_semantic_history_probe_is_exchange_free(spark, sf_dir):
     newv = emb.filter(F.col("vec_id") % 10 == 0).select(
         "vec_id", "embedding"
     )
-    nassign = more._sem_assign(
+    nassign = more._sem_probe(
         spark, sf_dir, newv, more._sem_cents(hist_src)
     ).select(F.col("vec_id").alias("new_id"), "cid")
     joined = hist.hint("merge").join(nassign, "cid")
@@ -159,3 +159,35 @@ def test_paragraph_store_is_distinct_keyed(spark, sf_dir):
     t = spark.table(store)
     assert t.count() == t.select("phash").distinct().count()
     assert t.agg(F.max("n_hist")).first()[0] > 1  # hot keys collapsed
+
+
+def _simple_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_sem_seeding_is_map_only(spark, sf_dir):
+    """VERDICT r17 task 1: centroid seeding must never sort or window
+    the history.  The r17 scheme ranked ALL history vectors through a
+    global no-partition row_number — a single-task sort of the corpus.
+    The md5-coin replacement is map-only up to two broadcast scalars
+    (COUNT, MIN(coin)): the only shuffle allowed is their SinglePartition
+    reduction, which moves one partial-aggregate row per PARTITION —
+    O(#partitions), never O(history)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    hist = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    plan = _simple_plan(more._sem_cents(hist))
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "BroadcastExchange" not in ln:
+            assert "SinglePartition" in ln, plan
+    # the SinglePartition reduction is fed by partial aggregates, not
+    # raw history rows
+    assert "partial_count" in plan and "partial_min" in plan, plan

@@ -67,13 +67,24 @@ def test_hot_band_candidates_bounded_by_cap(spark, tmp_path):
     sf = _hot_band_fixture(spark, tmp_path)
     pairs = registry.QUERIES["dedup_minhash_lsh_pairs"](spark, sf).collect()
     # uncapped, the 40-doc bucket would emit C(40,2) = 780 pairs;
-    # capped, exactly C(cap,2) among the cap smallest doc_ids
-    expected = BAND_CAP * (BAND_CAP - 1) // 2
+    # capped+starred (ADVICE r17), exactly C(cap,2) join pairs among
+    # the cap smallest doc_ids PLUS a linear star edge from the
+    # bucket leader (doc 0) to every clipped member
+    expected = BAND_CAP * (BAND_CAP - 1) // 2 + (_HOT_N - BAND_CAP)
     assert len(pairs) == expected
     survivors = set(range(BAND_CAP))
+    clipped = set(range(BAND_CAP, _HOT_N))
+    star_targets = set()
     for r in pairs:
-        assert r.d1 in survivors and r.d2 in survivors
         assert r.n_shared_bands == 4  # identical signature -> all bands
+        if r.d2 in clipped:
+            assert r.d1 == 0  # star edges come from the bucket leader
+            star_targets.add(r.d2)
+        else:
+            assert r.d1 in survivors and r.d2 in survivors
+    # EVERY clipped member keeps an edge into the cluster — the exact
+    # connectivity the r17 advice showed clipping alone severed
+    assert star_targets == clipped
 
 
 def test_hot_band_stats_report_clipping(spark, tmp_path):
@@ -89,8 +100,33 @@ def test_hot_band_stats_report_clipping(spark, tmp_path):
     assert hot.n_docs_clipped == 4 * (_HOT_N - BAND_CAP)
     assert hot.pairs_uncapped == 4 * (_HOT_N * (_HOT_N - 1) // 2)
     assert hot.pairs_capped == 4 * (BAND_CAP * (BAND_CAP - 1) // 2)
+    assert hot.pairs_star == 4 * (_HOT_N - 1)
+    assert hot.pairs_effective == 4 * (
+        BAND_CAP * (BAND_CAP - 1) // 2 + (_HOT_N - BAND_CAP)
+    )
     # the distinct tail docs sit in occupancy-1 buckets, unclipped
     assert stats[1].n_docs_clipped == 0 and stats[1].pairs_capped == 0
+    assert stats[1].pairs_star == 0 and stats[1].pairs_effective == 0
+
+
+def test_hot_band_cluster_stays_connected(spark, tmp_path):
+    """ADVICE r17 (medium): 40 byte-identical docs share every band
+    bucket, so under clipping alone docs BAND_CAP..39 lost every edge
+    and the components query left exact duplicates as singletons. With
+    star edges the whole cluster must close into ONE component with
+    one canonical pick."""
+    sf = _hot_band_fixture(spark, tmp_path)
+    comp = {
+        r.doc_id: r
+        for r in registry.QUERIES["dedup_connected_components"](
+            spark, sf
+        ).collect()
+    }
+    hot = [comp[i] for i in range(_HOT_N) if i in comp]
+    assert len(hot) == _HOT_N, "clipped duplicates missing from closure"
+    assert {r.component for r in hot} == {0}
+    assert sum(r.is_canonical for r in hot) == 1
+    assert all(r.n_docs == _HOT_N for r in hot)
 
 
 def test_hot_band_oracle_parity_on_synthetic_fixture(spark, tmp_path):

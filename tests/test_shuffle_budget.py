@@ -59,11 +59,13 @@ BUDGETS = {
     "text_oov_rate": 4,  # term agg + top-K rank plumbing; doc side is map-only (r9 rewrite)
     "dedup_ngram_jaccard": 4,
     "dedup_minhash_lsh_pairs": 4,     # shingle-stitch window + the r17
-                                      # occupancy-cap window (runs as
-                                      # WindowGroupLimit — the hot-band
+                                      # occupancy-cap window (the hot-band
                                       # quadratic guard) + countDistinct
-                                      # two-phase; capped bands persisted
-                                      # so sig+cap compute once
+                                      # two-phase; ranked bands persisted
+                                      # so sig+cap compute once, and the
+                                      # r18 star leg reuses the window's
+                                      # Exchange (leaders = rank 1), so
+                                      # stars add no census entry
     "agg_percentiles": 1,
     "skew_salted_join": 2,
     "contamination_train_test": 7,
