@@ -266,6 +266,11 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # len(PROBE_LEVELS)=4 constant
                                           # rows at ANY corpus size
                                           # (ann_recall_curve)
+        "tri_profile_model",              # the trained language profile:
+                                          # <= 5 langs x M_PROFILE=64 rows
+                                          # by the row_number cap — a
+                                          # constant-size model at ANY
+                                          # corpus size (lang_confusion)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

@@ -168,23 +168,50 @@ def test_lang_id_is_not_degenerate(spark, sf_dir):
     """r16 verdict: the identifier routed 100% of documents to 'en'
     because the raw fixture text is language-neutral. The r17 in-query
     localization must yield a NON-TRIVIAL audit: several predicted
-    classes, a dominant diagonal, and at least one off-diagonal cell
-    (the seeded confusables — 'des', 'la', 'de' — plus low-signal
-    docs), on every fixture SF."""
+    classes, a dominant diagonal, and (for the marker cascade) at
+    least one off-diagonal cell (the seeded confusables — 'des',
+    'la', 'de' — plus low-signal docs), on every fixture SF."""
     rows = registry.QUERIES["text_lang_confusion"](spark, sf_dir).collect()
-    predicted = {r.predicted_lang for r in rows}
-    assert len(predicted) >= 3, f"degenerate identifier: {predicted}"
-    off_diag = [r for r in rows if not r.is_correct]
-    assert off_diag, "confusion matrix has no off-diagonal mass"
-    # diagonal dominance: every label's top predicted class is itself
-    by_label = {}
+    methods = {r.method for r in rows}
+    assert methods == {"marker", "trigram"}
+    marker = [r for r in rows if r.method == "marker"]
+    assert [r for r in marker if not r.is_correct], (
+        "marker confusion matrix has no off-diagonal mass"
+    )
+    for method in methods:
+        cells_m = [r for r in rows if r.method == method]
+        predicted = {r.predicted_lang for r in cells_m}
+        assert len(predicted) >= 3, f"degenerate {method}: {predicted}"
+        # diagonal dominance: every label's top prediction is itself
+        by_label = {}
+        for r in cells_m:
+            by_label.setdefault(r.labeled_lang, []).append(r)
+        for label, cells in by_label.items():
+            best = max(cells, key=lambda r: r.n_docs)
+            assert best.predicted_lang == label, (
+                f"{method}/{label}: majority routed to {best.predicted_lang}"
+            )
+
+
+def test_trigram_profile_dominates_marker_cascade(spark, sf_dir):
+    """VERDICT r17 task 5's done-criterion: the trained char-trigram
+    profile's diagonal must dominate the marker cascade's — per label
+    at least as many correct documents, strictly more in total (the
+    exclusivity gate recovers cascade-confusable docs; the cascade
+    backoff makes regression impossible by construction, so a strict
+    win proves the profile path actually fires)."""
+    rows = registry.QUERIES["text_lang_confusion"](spark, sf_dir).collect()
+    diag = {"marker": {}, "trigram": {}}
     for r in rows:
-        by_label.setdefault(r.labeled_lang, []).append(r)
-    for label, cells in by_label.items():
-        best = max(cells, key=lambda r: r.n_docs)
-        assert best.predicted_lang == label, (
-            f"{label}: majority routed to {best.predicted_lang}"
+        if r.is_correct:
+            diag[r.method][r.labeled_lang] = r.n_docs
+    labels = set(diag["marker"]) | set(diag["trigram"])
+    for lab in labels:
+        assert diag["trigram"].get(lab, 0) >= diag["marker"].get(lab, 0), (
+            f"{lab}: trigram {diag['trigram'].get(lab, 0)} < "
+            f"marker {diag['marker'].get(lab, 0)}"
         )
+    assert sum(diag["trigram"].values()) > sum(diag["marker"].values())
 
 
 def test_lang_localization_never_sees_label_in_classifier(spark, sf_dir):
