@@ -11,21 +11,43 @@ production dedup run monitors before trusting signature-level
 thresholds at 100 TB (where computing exact Jaccard per pair is
 unaffordable and the estimator IS the decision).
 
+The exact-verify stage is COST-BOUNDED (r18, VERDICT r17 task 2 —
+the two shingle joins per candidate pair were the stack's highest
+10x probe residual), in two tiers, both reported as hash-checked
+data in ``verify_mode``:
+
+- ``bounded``: pairs whose shingle counts make the screen truth
+  FREE — ``2 * min(|A|,|B|) < max(|A|,|B|)`` implies
+  ``J <= min/max < 1/2`` (inter <= min, union >= max), so the truth
+  side of the screen is false WITHOUT any shingle join.  These rows
+  keep the size bound (``jmax_micro``) but carry NULL exact columns.
+- ``sampled_out``: of the remaining pairs, only a deterministic
+  md5-coin sample of expected size VERIFY_TARGET pays the exact
+  joins (keep iff ``coin(d1,d2) * n_unbounded < 16^6 *
+  VERIFY_TARGET`` — the count-adaptive coin threshold, one scalar
+  aggregate broadcast back, the ``dedup_incremental_more`` seeding
+  pattern).  When n_unbounded <= VERIFY_TARGET every pair passes
+  (coin < 16^6 always), so small corpora — including the sf0.01
+  driver gate — are still FULLY verified; at scale the exact-verify
+  cost is a constant ~VERIFY_TARGET pairs however the candidate set
+  grows.  Sampled-out rows carry NULL exact columns and NULL screen.
+- ``exact``: the full est-vs-exact row, as before.
+
 Exactness: ``est = n_eq/8`` and ``exact = inter/union`` are single
 exact divisions; the error ``|n_eq*union - 8*inter| * 1e6 DIV
 (8*union)`` is pure bigint arithmetic (non-negative operands, so
-DuckDB ``//`` truncation == floor == Spark ``DIV``), and both screen
+DuckDB ``//`` truncation == floor == Spark ``DIV``), both screen
 thresholds are INTEGER comparisons (``n_eq >= 4``,
-``2*inter >= union``) — no float enters any verdict.
+``2*inter >= uni``), and the sampling coin and size bound are bigint
+products — no float enters any verdict.
 
-Plan shape: candidate pairs come from the SHARED capped banded LSH
-geometry (``dedup_fuzzy.lsh_candidate_pairs`` — never all-pairs, and
-hot band buckets occupancy-capped at BAND_CAP so candidates are
-bounded at cap(cap-1)/2 per bucket); the signature frame is persisted
-once and feeds the band join and both sides of the agreement join;
-the exact side joins the cached distinct-shingle frame per pair — the
-expensive exact computation is confined to the (bounded) candidate
-set, which is exactly the point of the calibration.
+Plan shape: candidate pairs come from the SHARED capped+starred
+banded LSH geometry (``dedup_fuzzy.lsh_candidate_pairs`` — never
+all-pairs; hot buckets occupancy-capped with linear star edges); the
+signature frame is persisted once and feeds the band join and both
+sides of the agreement join; shingle sizes join every pair (doc-level
+frame, cheap) but the expensive intersection join touches ONLY the
+``exact`` tier.
 
 Reference lifecycle note: the reference (etl_process.py:1-235) has no
 similarity surface; minhash accuracy auditing is north-star dedup
@@ -43,15 +65,30 @@ from ..registry import register
 from ..sources import load_table
 from .dedup_fuzzy import _DUCK_SHINGLES, _minhash_sig_df, lsh_candidate_pairs
 from .graph_components import _PAIRS_SQL
+from .importance_sampling import _duck_hex6
+
+HEX6 = 16 ** 6      # the md5-coin space (first 6 hex digits)
+VERIFY_TARGET = 512  # expected exact-verified pairs at any corpus size
 
 _N_EQ_SQL = " + ".join(
     f"(CASE WHEN s1.mh{i} = s2.mh{i} THEN 1 ELSE 0 END)" for i in range(8)
 )
 
+# screen over (n_eq, truth); for bounded rows truth is structurally
+# false, so only fp/tn are reachable there
 _SCREEN = (
-    "CASE WHEN n_eq >= 4 AND 2 * inter >= uni THEN 'tp' "
+    "CASE WHEN verify_mode = 'sampled_out' THEN NULL "
+    "WHEN n_eq >= 4 AND COALESCE(2 * inter >= uni, FALSE) THEN 'tp' "
     "WHEN n_eq >= 4 THEN 'fp' "
-    "WHEN 2 * inter >= uni THEN 'fn' ELSE 'tn' END"
+    "WHEN COALESCE(2 * inter >= uni, FALSE) THEN 'fn' ELSE 'tn' END"
+)
+
+_DUCK_COIN = _duck_hex6(
+    "md5(CAST(d1 AS VARCHAR) || ':' || CAST(d2 AS VARCHAR))"
+)
+_SPARK_COIN = (
+    "CAST(conv(substr(md5(concat(CAST(d1 AS STRING), ':',"
+    " CAST(d2 AS STRING))), 1, 6), 16, 10) AS BIGINT)"
 )
 
 
@@ -64,31 +101,57 @@ _SCREEN = (
       FROM documents
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter_c AS (
-      SELECT p.d1, p.d2, CAST(COUNT(*) AS BIGINT) AS inter
+    sized AS (
+      SELECT p.d1, p.d2, sa.n AS na, sb.n AS nb,
+             2 * LEAST(sa.n, sb.n) < GREATEST(sa.n, sb.n) AS is_bounded,
+             {_DUCK_COIN} AS coin
       FROM pairs p
-      JOIN sh a ON a.doc_id = p.d1
-      JOIN sh b ON b.doc_id = p.d2 AND b.s = a.s
-      GROUP BY p.d1, p.d2
+      JOIN sizes sa ON sa.doc_id = p.d1
+      JOIN sizes sb ON sb.doc_id = p.d2
+    ),
+    unb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_unbounded
+      FROM sized WHERE NOT is_bounded
+    ),
+    tiered AS (
+      SELECT d1, d2, na, nb,
+             CASE WHEN is_bounded THEN 'bounded'
+                  WHEN coin * n_unbounded < {HEX6 * VERIFY_TARGET}
+                    THEN 'exact'
+                  ELSE 'sampled_out' END AS verify_mode
+      FROM sized CROSS JOIN unb
+    ),
+    inter_c AS (
+      SELECT t.d1, t.d2, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tiered t
+      JOIN sh a ON a.doc_id = t.d1
+      JOIN sh b ON b.doc_id = t.d2 AND b.s = a.s
+      WHERE t.verify_mode = 'exact'
+      GROUP BY t.d1, t.d2
     ),
     eq AS (
-      SELECT p.d1, p.d2, CAST({_N_EQ_SQL} AS BIGINT) AS n_eq
-      FROM pairs p
-      JOIN sig s1 ON s1.doc_id = p.d1
-      JOIN sig s2 ON s2.doc_id = p.d2
+      SELECT t.d1, t.d2, t.na, t.nb, t.verify_mode,
+             CAST({_N_EQ_SQL} AS BIGINT) AS n_eq
+      FROM tiered t
+      JOIN sig s1 ON s1.doc_id = t.d1
+      JOIN sig s2 ON s2.doc_id = t.d2
     ),
     m AS (
-      SELECT e.d1, e.d2, e.n_eq,
-             COALESCE(i.inter, 0) AS inter,
-             sa.n + sb.n - COALESCE(i.inter, 0) AS uni
+      SELECT e.d1, e.d2, e.n_eq, e.verify_mode,
+             CAST(LEAST(e.na, e.nb) * 1000000 // GREATEST(e.na, e.nb)
+                  AS BIGINT) AS jmax_micro,
+             CASE WHEN e.verify_mode = 'exact'
+                  THEN COALESCE(i.inter, 0) END AS inter,
+             CASE WHEN e.verify_mode = 'exact'
+                  THEN e.na + e.nb - COALESCE(i.inter, 0) END AS uni
       FROM eq e
       LEFT JOIN inter_c i ON i.d1 = e.d1 AND i.d2 = e.d2
-      JOIN sizes sa ON sa.doc_id = e.d1
-      JOIN sizes sb ON sb.doc_id = e.d2
     )
     SELECT d1, d2, n_eq,
            CAST(n_eq AS DOUBLE) / 8 AS est_jaccard,
-           inter, CAST(uni AS BIGINT) AS uni,
+           verify_mode, jmax_micro,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(uni AS BIGINT) AS uni,
            CAST(inter AS DOUBLE) / uni AS exact_jaccard,
            CAST(abs(n_eq * uni - 8 * inter) * 1000000 // (8 * uni)
                 AS BIGINT) AS err_micro,
@@ -103,15 +166,57 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the barrier the shingle-explode + 8-md5 pipeline ran 4x
     # (this was the bench's slowest query before r17)
     sig = scoped_persist(_minhash_sig_df(d).filter(F.col("mh0").isNotNull()))
-    # shared capped band geometry (dedup_fuzzy.lsh_candidate_pairs) —
-    # the calibration audits EXACTLY the candidate set the production
-    # pair generator emits, occupancy cap included
+    # shared capped+starred band geometry — the calibration audits
+    # EXACTLY the candidate set the production pair generator emits
     pairs = lsh_candidate_pairs(sig).select("d1", "d2").distinct()
 
     sh = scoped_persist(shingles_long(d, "text", 3).distinct())
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sized = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            "na",
+            "nb",
+            # STRICT: at 2*min == max the true Jaccard can be exactly
+            # 1/2, so the screen truth is NOT free — such pairs must
+            # go to the exact/sampled tiers
+            (
+                2 * F.least("na", "nb") < F.greatest("na", "nb")
+            ).alias("is_bounded"),
+            F.expr(_SPARK_COIN).alias("coin"),
+        )
+    )
+    sized = scoped_persist(sized)
+    n_unb = sized.filter(~F.col("is_bounded")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unbounded")
+    )
+    tiered = sized.crossJoin(F.broadcast(n_unb)).select(
+        "d1",
+        "d2",
+        "na",
+        "nb",
+        F.when(F.col("is_bounded"), "bounded")
+        .when(
+            F.col("coin") * F.col("n_unbounded")
+            < F.lit(HEX6 * VERIFY_TARGET).cast("long"),
+            "exact",
+        )
+        .otherwise("sampled_out")
+        .alias("verify_mode"),
+    )
     inter_c = (
-        pairs.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        tiered.filter(F.col("verify_mode") == "exact")
+        .select("d1", "d2")
+        .join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
         .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
@@ -127,21 +232,29 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(8)
     )
     eq = (
-        pairs.join(s1, "d1").join(s2, "d2")
-        .select("d1", "d2", n_eq.cast("long").alias("n_eq"))
+        tiered.join(s1, "d1").join(s2, "d2")
+        .select(
+            "d1", "d2", "na", "nb", "verify_mode",
+            n_eq.cast("long").alias("n_eq"),
+        )
     )
+    is_exact = F.col("verify_mode") == "exact"
     m = (
         eq.join(inter_c, ["d1", "d2"], "left")
-        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
         .select(
             "d1",
             "d2",
             "n_eq",
-            F.coalesce("inter", F.lit(0)).alias("inter"),
-            (F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0))).alias(
-                "uni"
-            ),
+            "verify_mode",
+            F.expr(
+                "CAST(LEAST(na, nb) * 1000000 DIV GREATEST(na, nb)"
+                " AS BIGINT)"
+            ).alias("jmax_micro"),
+            F.when(is_exact, F.coalesce("inter", F.lit(0))).alias("inter"),
+            F.when(
+                is_exact,
+                F.col("na") + F.col("nb") - F.coalesce("inter", F.lit(0)),
+            ).alias("uni"),
         )
     )
     return m.select(
@@ -149,7 +262,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d2",
         "n_eq",
         (F.col("n_eq").cast("double") / 8).alias("est_jaccard"),
-        "inter",
+        "verify_mode",
+        "jmax_micro",
+        F.col("inter").cast("long").alias("inter"),
         F.col("uni").cast("long").alias("uni"),
         (F.col("inter").cast("double") / F.col("uni")).alias("exact_jaccard"),
         F.expr(

@@ -1,0 +1,66 @@
+"""r18 property checks: the calibration's cost-bounded verify tiers.
+
+VERDICT r17 task 2: the exact-Jaccard verify (two shingle joins per
+candidate pair) was the stack's highest 10x probe residual.  The r18
+calibration bounds it in two tiers — a free size-bound
+(2*min(|A|,|B|) < max implies truth < 1/2 without any join) and a
+count-adaptive md5-coin sample of expected size VERIFY_TARGET for the
+rest — both reported as data in ``verify_mode``.  These tests pin the
+tier invariants the oracle differential can't state directly (the
+oracle mirrors the rule, so a WRONG rule would still hash-match).
+"""
+
+from __future__ import annotations
+
+from etl_xlsx_potgres_spark import registry
+from etl_xlsx_potgres_spark.plans.minhash_calibration import VERIFY_TARGET
+
+registry.load_all()
+
+
+def _rows(spark, sf_dir):
+    return registry.QUERIES["dedup_minhash_calibration"](
+        spark, sf_dir
+    ).collect()
+
+
+def test_calibration_exact_tier_is_complete(spark, sf_dir):
+    rows = _rows(spark, sf_dir)
+    exact = [r for r in rows if r.verify_mode == "exact"]
+    assert exact, "no exact tier — the audit verified nothing"
+    for r in exact:
+        assert r.inter is not None and r.uni is not None
+        assert r.exact_jaccard is not None and r.err_micro is not None
+        assert r.screen in {"tp", "fp", "fn", "tn"}
+        # the size bound must hold as an upper bound on the truth
+        assert r.exact_jaccard * 1_000_000 <= r.jmax_micro + 1
+
+
+def test_calibration_bounded_tier_is_free_and_sound(spark, sf_dir):
+    """Bounded rows carry NO exact columns (the whole point: no
+    shingle join ran) and their screen verdict assumes truth=false,
+    which the STRICT size bound guarantees."""
+    rows = _rows(spark, sf_dir)
+    bounded = [r for r in rows if r.verify_mode == "bounded"]
+    assert bounded, "size bound never fired on the fixture"
+    for r in bounded:
+        assert r.inter is None and r.uni is None
+        assert r.exact_jaccard is None and r.err_micro is None
+        # strict bound: jmax = min*1e6 DIV max < 500000 exactly when
+        # 2*min < max
+        assert r.jmax_micro < 500_000
+        assert r.screen in {"fp", "tn"}
+        assert (r.screen == "fp") == (r.n_eq >= 4)
+
+
+def test_calibration_small_corpora_fully_verified(spark, sf_dir):
+    """The count-adaptive coin passes EVERY pair while the unbounded
+    candidate set fits VERIFY_TARGET — the sf0.01 driver gate (and
+    this fixture) must stay a full audit, sampling only kicks in at
+    scale."""
+    rows = _rows(spark, sf_dir)
+    n_unbounded = sum(1 for r in rows if r.verify_mode != "bounded")
+    assert n_unbounded <= VERIFY_TARGET, (
+        "fixture outgrew VERIFY_TARGET; move this assertion"
+    )
+    assert not [r for r in rows if r.verify_mode == "sampled_out"]
