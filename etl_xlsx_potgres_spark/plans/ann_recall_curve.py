@@ -5,23 +5,34 @@ index ships the recall-vs-cost sweep and tunes ``n_probe`` on it
 (the ann-benchmarks protocol; Jegou et al. 2011 Fig. 6 reports
 exactly this table for IVF-PQ).
 
-One query, eight rows: methods {ivf (cosine, probe-then-rerank),
-ivfpq (coarse lists -> pruned ADC -> exact re-rank)} x probe levels
-{1, 2, 4, 8}.  Per row: exact-overlap hits against the method's
-ground truth, recall in exact integer micro-units, and the candidate
-count the level paid for — the cost axis of the curve as hash-checked
-data, so "recall went up" can never silently mean "we scanned the
-whole corpus".
+One query, twelve rows, TWO knob axes (r18 completed the PQ tuning
+surface — VERDICT r17 task 4):
 
-Plan shape (the sweep costs ONE search, not four): candidates are
-generated once at the DEEPEST level with their probed-cell rank
-``prn`` attached; each level is then a filter ``prn <= p`` over the
-same scored frame (an exploded constant levels axis), so the corpus
-is scanned once and the per-level top-k windows run over
-already-small candidate sets.  The expensive exact ground-truth pass
-(Q x N) is computed once and shared by every level.  All rank
-decisions reuse the family's integer-micro / (score, vec_id)
-tiebreaks, so the pair is bit-identical at any partitioning.
+- probe axis: methods {ivf (cosine, probe-then-rerank), ivfpq
+  (coarse lists -> pruned ADC -> exact re-rank)} x n_probe
+  {1, 2, 4, 8} at the family's fixed SHORTLIST;
+- shortlist axis: {ivfpq} x shortlist {5, 10, 25, 50} at the
+  deepest probe depth — the ADC re-rank's OTHER knob, whose
+  regressions were invisible the same way n_probe's were pre-r17.
+
+Per row: exact-overlap hits against the method's ground truth,
+recall in exact integer micro-units, and the candidate volume the
+swept knob pays for — the ADC-scanned candidates along n_probe, the
+exactly-reranked candidates along shortlist — as hash-checked data,
+so "recall went up" can never silently mean "we scanned the whole
+corpus".  The (n_probe=8, shortlist=50) operating point appears on
+BOTH axes via different plan paths and must agree (pinned).
+
+Plan shape (the whole surface costs ONE search, not eight):
+candidates are generated once at the DEEPEST probe level with their
+probed-cell rank ``prn`` attached; each probe level is a filter
+``prn <= p`` over the same scored frame, and each shortlist level is
+a filter ``rn_adc <= s`` over ONE full-depth ADC ranking of the same
+persisted ADC frame (exploded constant level axes).  The expensive
+exact ground-truth pass (Q x N) is computed once and shared by every
+row.  All rank decisions reuse the family's integer-micro /
+(score, vec_id) tiebreaks, so the pair is bit-identical at any
+partitioning.
 
 Reference lifecycle note: the reference (etl_process.py:1-235) has no
 vector surface; this is the index-tuning instrument of the
@@ -59,13 +70,18 @@ from .similarity import N_QUERIES, _duck_cos
 PROBE_LEVELS = [1, 2, 4, 8]
 _LEVELS_DUCK = "[" + ", ".join(str(p) for p in PROBE_LEVELS) + "]"
 _MAX_PROBE = max(PROBE_LEVELS)
+# shortlist axis: >= TOP_K (a shorter shortlist cannot fill top-k) up
+# to the family's operating SHORTLIST, so the curve's deepest point
+# coincides with the probe axis's (n_probe=8, SHORTLIST) row
+SHORTLIST_LEVELS = [5, 10, 25, SHORTLIST]
+_SLEVELS_DUCK = "[" + ", ".join(str(s) for s in SHORTLIST_LEVELS) + "]"
 
 
 def _oracle() -> str:
     ivf = f"""
     levels AS (SELECT unnest({_LEVELS_DUCK}) AS p),
     icents AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      SELECT vec_id AS cid, embedding AS cv FROM vecs
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}
     ),
     iassign AS (
@@ -73,7 +89,7 @@ def _oracle() -> str:
         SELECT v.vec_id, v.embedding, c.cid,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
                  {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
-        FROM embeddings v CROSS JOIN icents c
+        FROM vecs v CROSS JOIN icents c
       ) WHERE arn = 1
     ),
     iprobes AS (
@@ -81,7 +97,7 @@ def _oracle() -> str:
         SELECT q.vec_id AS qid, c.cid,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                  {_duck_cos("q.embedding", "c.cv")} DESC, c.cid) AS prn
-        FROM embeddings q CROSS JOIN icents c
+        FROM vecs q CROSS JOIN icents c
         WHERE q.vec_id < {N_QUERIES}
       ) WHERE prn <= {_MAX_PROBE}
     ),
@@ -90,7 +106,7 @@ def _oracle() -> str:
              {_duck_cos("q.embedding", "a.embedding")} AS cosine
       FROM iprobes p
       JOIN iassign a ON a.cid = p.cid AND a.vec_id <> p.qid
-      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN vecs q ON q.vec_id = p.qid
     ),
     itopk AS (
       SELECT p, qid, vec_id FROM (
@@ -112,6 +128,7 @@ def _oracle() -> str:
     ),
     ivf_rows AS (
       SELECT 'ivf' AS method, CAST(l.p AS BIGINT) AS n_probe,
+             CAST(NULL AS BIGINT) AS shortlist,
              COALESCE(h.n_hits, 0) AS n_hits,
              CAST({N_QUERIES * similarity.TOP_K} AS BIGINT) AS n_possible,
              CAST(COALESCE(h.n_hits, 0) * 1000000
@@ -209,6 +226,7 @@ def _oracle() -> str:
     ),
     pq_rows AS (
       SELECT 'ivfpq' AS method, CAST(l.p AS BIGINT) AS n_probe,
+             CAST({SHORTLIST} AS BIGINT) AS shortlist,
              COALESCE(h.n_hits, 0) AS n_hits,
              CAST({NQ * TOP_K} AS BIGINT) AS n_possible,
              CAST(COALESCE(h.n_hits, 0) * 1000000
@@ -218,9 +236,57 @@ def _oracle() -> str:
       LEFT JOIN phits h ON h.p = l.p
       LEFT JOIN pcandn c ON c.p = l.p
     )"""
+    # the shortlist axis: ONE full-depth ADC ranking of the same padc
+    # frame; each level is a rank filter, reranked by the shared exact
+    # distances
+    sl = f"""
+    slevels AS (SELECT unnest({_SLEVELS_DUCK}) AS s),
+    padc_rank AS (
+      SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_micro, vec_id) AS rn_adc
+      FROM padc
+    ),
+    pshort_s AS (
+      SELECT l.s, a.qid, a.vec_id
+      FROM padc_rank a CROSS JOIN slevels l WHERE a.rn_adc <= l.s
+    ),
+    prerank_s AS (
+      SELECT s, qid, vec_id FROM (
+        SELECT sh.s, sh.qid, sh.vec_id,
+               row_number() OVER (PARTITION BY sh.s, sh.qid
+                                  ORDER BY e.d2_micro, sh.vec_id) AS rn
+        FROM pshort_s sh
+        JOIN pexact e ON e.qid = sh.qid AND e.vec_id = sh.vec_id)
+      WHERE rn <= {TOP_K}
+    ),
+    phits_s AS (
+      SELECT r.s, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM prerank_s r
+      JOIN pexact_top e ON e.qid = r.qid AND e.vec_id = r.vec_id
+      GROUP BY 1
+    ),
+    pcand_s AS (
+      SELECT l.s, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM padc_rank a CROSS JOIN slevels l WHERE a.rn_adc <= l.s
+      GROUP BY 1
+    ),
+    sl_rows AS (
+      SELECT 'ivfpq' AS method, CAST({_MAX_PROBE} AS BIGINT) AS n_probe,
+             CAST(l.s AS BIGINT) AS shortlist,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             CAST({NQ * TOP_K} AS BIGINT) AS n_possible,
+             CAST(COALESCE(h.n_hits, 0) * 1000000
+                  // {NQ * TOP_K} AS BIGINT) AS recall_micro,
+             COALESCE(c.n_candidates, 0) AS n_candidates
+      FROM slevels l
+      LEFT JOIN phits_s h ON h.s = l.s
+      LEFT JOIN pcand_s c ON c.s = l.s
+    )"""
     return (
-        f"WITH {_VECS_SUBS}, {_trained_codebook_ctes()}, {ivf}, {pq}\n"
+        f"WITH {_VECS_SUBS}, {_trained_codebook_ctes()}, {ivf}, {pq}, {sl}\n"
         "SELECT * FROM ivf_rows UNION ALL SELECT * FROM pq_rows"
+        " UNION ALL SELECT * FROM sl_rows"
     )
 
 
@@ -230,17 +296,34 @@ def _levels_frame(spark: SparkSession) -> DataFrame:
     )
 
 
+def _slevels_frame(spark: SparkSession) -> DataFrame:
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in SHORTLIST_LEVELS])).alias("s")
+    )
+
+
 def _curve_rows(
     hits: DataFrame, cand: DataFrame, levels: DataFrame, method: str,
-    n_possible: int,
+    n_possible: int, axis: str = "p", n_probe=None, shortlist=None,
 ) -> DataFrame:
+    """One output row per swept level: the swept knob comes from the
+    ``axis`` column of ``levels``; the OTHER knob is the fixed
+    ``n_probe``/``shortlist`` literal (None -> NULL, e.g. ivf has no
+    shortlist)."""
     nh = F.coalesce(F.col("n_hits"), F.lit(0))
+    probe_col = (
+        F.col(axis) if axis == "p" else F.lit(n_probe)
+    ).cast("long").alias("n_probe")
+    short_col = (
+        F.col(axis) if axis == "s" else F.lit(shortlist).cast("long")
+    ).cast("long").alias("shortlist")
     return (
-        levels.join(hits, "p", "left")
-        .join(cand, "p", "left")
+        levels.join(hits, axis, "left")
+        .join(cand, axis, "left")
         .select(
             F.lit(method).alias("method"),
-            F.col("p").cast("long").alias("n_probe"),
+            probe_col,
+            short_col,
             nh.cast("long").alias("n_hits"),
             F.lit(n_possible).cast("long").alias("n_possible"),
             F.expr(
@@ -318,7 +401,10 @@ def _ivf_curve(
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_candidates"))
     )
-    return _curve_rows(hits, cand, levels, "ivf", N_QUERIES * similarity.TOP_K)
+    return _curve_rows(
+        hits, cand, levels, "ivf", N_QUERIES * similarity.TOP_K,
+        axis="p", shortlist=None,
+    )
 
 
 def _ivfpq_curve(
@@ -429,7 +515,44 @@ def _ivfpq_curve(
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_candidates"))
     )
-    return _curve_rows(hits, candn, levels, "ivfpq", NQ * TOP_K)
+    probe_rows = _curve_rows(
+        hits, candn, levels, "ivfpq", NQ * TOP_K,
+        axis="p", shortlist=SHORTLIST,
+    )
+
+    # --- shortlist axis (r18): one full-depth ADC ranking of the same
+    # persisted adc frame; each level is a rank filter, reranked by
+    # the shared exact distances
+    slevels = _slevels_frame(adc.sparkSession)
+    adc_rank = adc.withColumn(
+        "rn_adc",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy("adc_micro", "vec_id")
+        ),
+    )
+    short_s = adc_rank.join(
+        F.broadcast(slevels), adc_rank["rn_adc"] <= slevels["s"]
+    ).select("s", "qid", "vec_id")
+    rr_s = Window.partitionBy("s", "qid").orderBy("d2_micro", "vec_id")
+    rerank_s = (
+        short_s.join(exact, ["qid", "vec_id"])
+        .withColumn("rn", F.row_number().over(rr_s))
+        .filter(F.col("rn") <= TOP_K)
+        .select("s", "qid", "vec_id")
+    )
+    hits_s = (
+        rerank_s.join(exact_top, ["qid", "vec_id"])
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    cand_s = short_s.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    shortlist_rows = _curve_rows(
+        hits_s, cand_s, slevels, "ivfpq", NQ * TOP_K,
+        axis="s", n_probe=_MAX_PROBE,
+    )
+    return probe_rows.unionByName(shortlist_rows)
 
 
 @register("ann_recall_curve", oracle=_oracle())

@@ -322,3 +322,44 @@ def test_ann_curve_ivf_recall_monotone_in_probes(spark, sf_dir):
     )
     c = [x for _, x in cands]
     assert c == sorted(c) and c[0] < c[-1], f"candidate axis broken: {cands}"
+
+
+def test_ann_curve_shortlist_recall_monotone(spark, sf_dir):
+    """r18 (VERDICT r17 task 4): along the SHORTLIST axis the
+    exact-rerank candidate set grows with s and the rerank is by exact
+    distance with a total-order tiebreak, so overlap with the exact
+    top-k is mathematically non-decreasing — unlike the ADC shortlist
+    itself, the rerank axis IS monotone.  The deepest shortlist row
+    and the deepest probe row are the SAME operating point computed
+    through different plan paths and must agree on hits."""
+    from etl_xlsx_potgres_spark.plans.ann_recall_curve import (
+        _MAX_PROBE,
+        SHORTLIST_LEVELS,
+    )
+    from etl_xlsx_potgres_spark.plans.pq_search import SHORTLIST
+
+    rows = registry.QUERIES["ann_recall_curve"](spark, sf_dir).collect()
+    # the shortlist-axis rows: swept s at fixed deepest probe,
+    # excluding the probe-axis anchor row (same coordinates, ADC cost)
+    by_axis = {}
+    for r in rows:
+        if r.method == "ivfpq":
+            by_axis.setdefault(
+                (r.n_probe, r.shortlist), []
+            ).append(r)
+    sweep = sorted(
+        (s, by_axis[(_MAX_PROBE, s)]) for s in SHORTLIST_LEVELS
+    )
+    hits_by_s = []
+    for s, cell in sweep:
+        if s == SHORTLIST:
+            assert len(cell) == 2, "probe/shortlist anchor rows missing"
+            assert cell[0].n_hits == cell[1].n_hits, (
+                "the two plan paths disagree at the shared operating point"
+            )
+        hits_by_s.append(cell[0].n_hits)
+        # cost axis: the rerank volume is bounded by NQ * s
+        assert min(r.n_candidates for r in cell) <= 10 * s
+    assert hits_by_s == sorted(hits_by_s), (
+        f"shortlist hits not monotone: {hits_by_s}"
+    )
