@@ -81,6 +81,55 @@ def load_flag(
     )
 
 
+def load_anchor(
+    anchor_path: str, sf, times: dict[str, float]
+) -> tuple[dict | None, list | None]:
+    """(ratio_stats, anchor_loadavg) of this run's per-query times
+    against the committed anchor at ``anchor_path`` — the dispersion
+    diagnostics behind the anchor-relative load signal.  An anchor
+    captured at a DIFFERENT scale factor is rejected outright: every
+    per-query ratio (and the dispersion signal keyed on them) would be
+    meaningless — r17: a stray sf0.01 anchor produced 2-8x "ratios"
+    against an sf0.1 run and tripped the flag.  A missing or malformed
+    anchor (bad JSON shape, non-numeric query values) degrades to
+    (None, None) rather than crashing the bench run — the load flag
+    then runs on its three anchor-free signals.  Factored out of
+    main() so tests exercise THIS code path (advice r17)."""
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("sf") is not None and sf is not None and anchor["sf"] != sf:
+            raise ValueError("anchor sf mismatch")
+        aq = anchor.get("queries", {})
+        anchor_loadavg = None
+        la = anchor.get("loadavg_1m")
+        if (
+            isinstance(la, list)
+            and la
+            and all(isinstance(s, (int, float)) for s in la)
+        ):
+            anchor_loadavg = la
+        pairs = sorted(
+            ((round(times[n] / aq[n], 3), n) for n in times
+             if n in aq and isinstance(aq[n], (int, float))
+             and aq[n] > 0),
+        )
+        if not pairs:
+            return None, anchor_loadavg
+        ratios = [r for r, _ in pairs]
+        k = len(ratios)
+        return {
+            "anchor_total": anchor.get("value"),
+            "anchor_n": len(aq),
+            "n_common": k,
+            "median": round(statistics.median(ratios), 3),
+            "iqr": [ratios[k // 4], ratios[(3 * k) // 4]],
+            "worst3": [[n, r] for r, n in pairs[-3:][::-1]],
+        }, anchor_loadavg
+    except (OSError, ValueError, KeyError, TypeError):
+        return None, None
+
+
 def _reference_equivalent_sec(spark) -> float:
     """Time the reference's observable workload (SURVEY.md §3: clean,
     type, dedup, split into planos/clientes/contratos/contatos) on a
@@ -235,47 +284,7 @@ def main() -> None:
     anchor_path = os.environ.get(
         "SPARK_GRAFT_BENCH_ANCHOR", os.path.join(repo, "BENCH_FULL.json")
     )
-    ratio_stats = None
-    anchor_loadavg = None
-    try:
-        with open(anchor_path) as f:
-            anchor = json.load(f)
-        # an anchor captured at a different scale factor makes every
-        # per-query ratio (and the dispersion load signal keyed on
-        # them) meaningless — skip the whole block rather than emit
-        # cross-SF ratios (r17: a stray sf0.01 anchor produced 2-8x
-        # "ratios" against an sf0.1 run and tripped the flag)
-        if anchor.get("sf") is not None and sf is not None and anchor["sf"] != sf:
-            raise ValueError("anchor sf mismatch")
-        aq = anchor.get("queries", {})
-        la = anchor.get("loadavg_1m")
-        if (
-            isinstance(la, list)
-            and la
-            and all(isinstance(s, (int, float)) for s in la)
-        ):
-            anchor_loadavg = la
-        pairs = sorted(
-            ((round(times[n] / aq[n], 3), n) for n in times
-             if n in aq and isinstance(aq[n], (int, float))
-             and aq[n] > 0),
-        )
-        if pairs:
-            ratios = [r for r, _ in pairs]
-            k = len(ratios)
-            ratio_stats = {
-                "anchor_total": anchor.get("value"),
-                "anchor_n": len(aq),
-                "n_common": k,
-                "median": round(statistics.median(ratios), 3),
-                "iqr": [ratios[k // 4], ratios[(3 * k) // 4]],
-                "worst3": [[n, r] for r, n in pairs[-3:][::-1]],
-            }
-    except (OSError, ValueError, KeyError, TypeError):
-        # diagnostics-only: a malformed anchor (bad JSON shape or
-        # non-numeric query values) degrades to ratio_stats=None
-        # rather than crashing the bench run
-        pass
+    ratio_stats, anchor_loadavg = load_anchor(anchor_path, sf, times)
 
     total = round(sum(times.values()), 3)
     payload = {

@@ -519,8 +519,10 @@ HEX6 = 16 ** 6  # the md5-coin space: first 6 hex digits as an integer
 
 _SEM_DUCK_COIN = _duck_hex6("md5(CAST(vec_id AS VARCHAR))")
 
-_SEM_ORACLE = f"""
-WITH hvecs AS (
+# the shared seeding/assignment/probe CTE chain (composed by BOTH the
+# semantic-dedup oracle and the ann_incremental_ivf oracle below —
+# one geometry, one place, the dedup_fuzzy._BANDS_SQL discipline)
+_SEM_CTES = f"""hvecs AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE embedding IS NOT NULL AND vec_id % 10 <> 0
 ),
@@ -586,7 +588,10 @@ nassign AS (
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              {_duck_cos("v.embedding", "s.cv")} DESC, s.cid) AS arn
     FROM nv2g v JOIN c2g s ON s.gid = v.gid) WHERE arn <= {SEM_N_PROBE}
-),
+)"""
+
+_SEM_ORACLE = f"""
+WITH {_SEM_CTES},
 per AS (
   SELECT n.vec_id,
          CAST(COUNT(*) AS BIGINT) AS n_hist_candidates,
@@ -852,4 +857,79 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd.alias("n_hist_neardups"),
             (nd == 0).alias("keep"),
         )
+    )
+
+
+# --- Incremental IVF ANN serving (r18, VERDICT r17 task 7) ------------
+#
+# Every dedup family has an incremental-store path, but the ANN
+# indexes were rebuilt per query.  This closes the matrix by serving
+# top-k neighbor queries off the SAME bucketed cell store the
+# semantic-dedup family maintains: the store (vec_id, embedding, cid)
+# bucketed+sorted on cid IS a full-precision IVF index — one index,
+# two consumers (near-dup verdicts and neighbor search), so the
+# 100-TB history shuffle is paid once at write time for both.  A new
+# batch assigns cells with the shared two-level md5-coin geometry,
+# probes its top-SEM_N_PROBE cells (the `dedup_incremental_newbatch`
+# probe discipline applied to ANN), and ranks ONLY the probed
+# buckets' history by exact cosine — the history side of the probe
+# join is Exchange-free (same plan assertion as the semantic probe).
+# Cosines use the left-assoc HOF fold that is bit-identical to
+# DuckDB's list_sum, so ranks and values hash-match exactly.
+
+ANN_TOP_K = 5   # neighbors returned per new vector (ann_* convention)
+
+_ANN_IVF_ORACLE = f"""
+WITH {_SEM_CTES},
+scored AS (
+  SELECT n.vec_id, h.vec_id AS neighbor_id,
+         {_duck_cos("n.embedding", "h.embedding")} AS cosine
+  FROM nassign n JOIN hassign h ON h.cid = n.cid
+)
+SELECT vec_id, rn, neighbor_id, cosine FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {ANN_TOP_K}
+"""
+
+
+@register("ann_incremental_ivf", oracle=_ANN_IVF_ORACLE)
+def ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{ANN_TOP_K} cosine neighbors from the bucketed history
+    store for each new-batch vector, probing SEM_N_PROBE cells —
+    probed cells are disjoint (history is single-assigned), so no
+    neighbor appears twice and the per-vector rank window runs over
+    a bounded candidate list, never the corpus."""
+    store = _provision_semantic_store(spark, sf_dir)
+    hist = spark.table(store).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("hemb"),
+        "cid",
+    )
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    newv = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    nassign = _sem_probe(spark, sf_dir, newv, _sem_cents(hist_src))
+    cos = _dot(F.col("embedding"), F.col("hemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("hemb"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    return (
+        nassign.join(hist, "cid")
+        .select("vec_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_TOP_K)
+        .select("vec_id", F.col("rn").cast("long").alias("rn"),
+                "neighbor_id", "cosine")
     )

@@ -120,10 +120,13 @@ def test_missing_anchor_degrades_to_three_signals():
     assert bench.load_flag(LOADED_R15_DRIVER, CPUS, None, None) is True
 
 
-def test_cross_sf_anchor_is_rejected(tmp_path, monkeypatch):
+def test_cross_sf_anchor_is_rejected(tmp_path):
     """An anchor captured at a different SF must yield no ratio stats
-    (and therefore no dispersion signal) — cross-SF ratios are
-    meaningless and tripped the flag in r17."""
+    AND no anchor trace (so no dispersion signal at all) — cross-SF
+    ratios are meaningless and tripped the flag in r17.  Exercises
+    bench.load_anchor itself, the code path main() runs (advice r17:
+    the old inline replica couldn't catch a regression in the real
+    guard)."""
     import json
 
     anchor = tmp_path / "anchor.json"
@@ -131,8 +134,21 @@ def test_cross_sf_anchor_is_rejected(tmp_path, monkeypatch):
         {"value": 1.0, "sf": 0.01, "queries": {"q1": 1.0},
          "loadavg_1m": [0.5, 2.0]}
     ))
-    # replicate bench.main's guard inline
-    a = json.loads(anchor.read_text())
-    sf = 0.1
-    rejected = a.get("sf") is not None and sf is not None and a["sf"] != sf
-    assert rejected
+    ratio_stats, anchor_loadavg = bench.load_anchor(
+        str(anchor), 0.1, {"q1": 2.0}
+    )
+    assert ratio_stats is None and anchor_loadavg is None
+    # the SAME anchor at the matching SF produces ratios + the trace
+    ratio_stats, anchor_loadavg = bench.load_anchor(
+        str(anchor), 0.01, {"q1": 2.0}
+    )
+    assert ratio_stats is not None and ratio_stats["median"] == 2.0
+    assert anchor_loadavg == [0.5, 2.0]
+
+
+def test_malformed_anchor_degrades_quietly(tmp_path):
+    missing = bench.load_anchor(str(tmp_path / "nope.json"), 0.1, {"q1": 1.0})
+    assert missing == (None, None)
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"queries": "not-a-map"}')
+    assert bench.load_anchor(str(bad), 0.1, {"q1": 1.0}) == (None, None)

@@ -191,3 +191,47 @@ def test_sem_seeding_is_map_only(spark, sf_dir):
     # the SinglePartition reduction is fed by partial aggregates, not
     # raw history rows
     assert "partial_count" in plan and "partial_min" in plan, plan
+
+
+def test_ann_ivf_probe_is_exchange_free(spark, sf_dir):
+    """r18 (VERDICT r17 task 7): serving top-k neighbors off the
+    bucketed cell store must keep the store promise — the history
+    side of the probe join carries zero Exchange."""
+    store = more._provision_semantic_store(spark, sf_dir)
+    hist = spark.table(store)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "embedding"
+    )
+    newv = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    nassign = more._sem_probe(
+        spark, sf_dir, newv, more._sem_cents(hist_src)
+    ).select(F.col("vec_id").alias("new_id"), "cid")
+    joined = hist.hint("merge").join(nassign, "cid")
+    _assert_history_branch_exchange_free(_plan_str(joined), "semantic_cell")
+
+
+def test_ann_ivf_topk_shape(spark, sf_dir):
+    """Per new vector: <= ANN_TOP_K rows, contiguous ranks from 1,
+    cosine non-increasing, no duplicate neighbors (probed cells are
+    disjoint)."""
+    from etl_xlsx_potgres_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["ann_incremental_ivf"](spark, sf_dir).collect()
+    assert rows
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vec, rs in by_vec.items():
+        rs.sort(key=lambda r: r.rn)
+        assert len(rs) <= more.ANN_TOP_K
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1)), vec
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True), vec
+        assert len({r.neighbor_id for r in rs}) == len(rs), vec
+    assert any(len(rs) == more.ANN_TOP_K for rs in by_vec.values())
