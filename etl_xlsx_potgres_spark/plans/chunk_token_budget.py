@@ -265,7 +265,15 @@ def _chunked_long(costed: DataFrame) -> DataFrame:
 
 
 def _chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    costed = _costed(spark, sf_dir)
+    from ..caching import scoped_persist
+
+    # ONE corpus scan for both gate branches (VERDICT r17 #6): without
+    # the barrier each branch's subtree re-reads documents AND re-runs
+    # the per-word merge-replace costing — the expensive half of the
+    # query — once per branch; the cached frame makes the gate filters
+    # two cheap passes over already-costed rows (the r17 dual-path
+    # insurance at half the price)
+    costed = scoped_persist(_costed(spark, sf_dir))
     return _chunked_short(costed).unionByName(_chunked_long(costed))
 
 
