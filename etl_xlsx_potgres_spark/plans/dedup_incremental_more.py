@@ -639,6 +639,8 @@ def _sem_cents(hist: DataFrame) -> DataFrame:
             f" {SEM_MIN_CELLS}))) AS BIGINT)"
         ),
     )
+    from ..caching import scoped_persist
+
     is_floor = F.col("coin") == F.col("mincoin")
     is_seed = (
         (F.col("coin") * SEM_CELL_SIZE < HEX6)
@@ -650,10 +652,17 @@ def _sem_cents(hist: DataFrame) -> DataFrame:
         | (F.col("coin") * F.col("n") * F.col("cs") < HEX6 * SEM_MIN_CELLS)
         | is_floor
     )
-    return seeded.filter(is_seed).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
-        is_coarse.alias("is_coarse"),
+    # persisted: the cents frame is centroid-sized (~N/64 rows) but
+    # referenced by EVERY downstream consumer (coarse, c2g, both
+    # probe argmins) — without the barrier each reference re-expands
+    # the scan + scalar-aggregate subtree, multiplying the plan's
+    # Exchange census ~5x (caught by tests/test_shuffle_budget.py)
+    return scoped_persist(
+        seeded.filter(is_seed).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            is_coarse.alias("is_coarse"),
+        )
     )
 
 
@@ -728,17 +737,48 @@ def _sem_assign(
 def _sem_c2g(
     spark: SparkSession, sf_dir: str, cents: DataFrame, coarse: DataFrame
 ) -> DataFrame:
-    """Fine cell -> coarse group (K x C evals, both centroid-sized)."""
+    """Fine cell -> coarse group (K x C evals, both centroid-sized;
+    persisted — two consumers in the probe path)."""
+    from ..caching import scoped_persist
     from .dedup_fuzzy import _size_aware_broadcast
 
-    return _argmin_cos(
-        cents.select(F.col("cid").alias("vec_id"), F.col("cv"))
-        .crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
-        "cv",
-        "gv",
-        "gid",
-        "gid",
-    ).select(F.col("vec_id").alias("cid"), "cv", "gid")
+    return scoped_persist(
+        _argmin_cos(
+            cents.select(F.col("cid").alias("vec_id"), F.col("cv"))
+            .crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
+            "cv",
+            "gv",
+            "gid",
+            "gid",
+        ).select(F.col("vec_id").alias("cid"), "cv", "gid")
+    )
+
+
+def _topn_cos(
+    df: DataFrame, vec_col: str, cand_vec: str, cand_id: str, out: str,
+    n: int,
+) -> DataFrame:
+    """Per vec_id the n nearest candidates by (cos DESC, id) — the
+    bounded-top-n sibling of :func:`_argmin_cos`: collect the SLIM
+    (-cos, id) structs per vector (16 bytes each, the vector itself
+    moves once via first()), sort, slice — ONE shuffle, no per-vector
+    window, no exclusion re-join.  array_sort on the negated-cosine
+    struct ranks exactly like ``row_number() OVER (ORDER BY cos DESC,
+    id) <= n``, which is what the oracle replays."""
+    cos = _dot(F.col(vec_col), F.col(cand_vec)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(cand_vec))
+    )
+    sc = F.struct((-cos).alias("nc"), F.col(cand_id).alias("i"))
+    return (
+        df.select("vec_id", vec_col, sc.alias("sc"))
+        .groupBy("vec_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("sc")), 1, n).alias("top"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select("vec_id", vec_col, F.explode("top").alias("sc"))
+        .select("vec_id", vec_col, F.col("sc.i").alias(out))
+    )
 
 
 def _sem_probe(
@@ -751,53 +791,27 @@ def _sem_probe(
     sf0.001 fixture's 10 true pairs all have cosine < 0.46, and ALL
     split across cells under top-1 probing).  The new batch probes its
     top-{SEM_N_PROBE} coarse groups, then the top-{SEM_N_PROBE} fine
-    cells within their union.  Top-2 stays a map-side-partial argmin
-    (no window, no collect_list): rank 2 = argmin over the candidate
-    set with rank 1 excluded by id — identical to ``row_number() <=
-    {SEM_N_PROBE}`` with the (cos DESC, id) tie-break, which is what
-    the oracle replays.  History stays single-assigned (each history
-    vector lives in exactly ONE store bucket), so probed cells are
-    disjoint and per-vector candidate counts never double-count."""
+    cells within their union — each level ONE bounded top-n aggregate
+    (collect_list is capped at C resp. probe*K/C slim structs per
+    vector, never the corpus).  History stays single-assigned (each
+    history vector lives in exactly ONE store bucket), so probed cells
+    are disjoint and per-vector candidate counts never double-count."""
     from .dedup_fuzzy import _size_aware_broadcast
 
     coarse = _sem_coarse(cents)
     c2g = _sem_c2g(spark, sf_dir, cents, coarse)
-    # top-2 coarse groups by exclusion argmin: N x C evals twice, two
-    # N-row shuffles
-    g1 = _argmin_cos(
+    # top-2 coarse groups: N x C evals, one N-row shuffle
+    probeg = _topn_cos(
         vecs.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)),
         "embedding",
         "gv",
         "gid",
-        "g1",
-    )
-    g2 = _argmin_cos(
-        g1.crossJoin(_size_aware_broadcast(spark, sf_dir, coarse)).filter(
-            F.col("gid") != F.col("g1")
-        ),
-        "embedding",
-        "gv",
         "gid",
-        "g2",
+        SEM_N_PROBE,
     )
-    probeg = g1.select(
-        "vec_id", "embedding", F.col("g1").alias("gid")
-    ).unionByName(g2.select("vec_id", "embedding", F.col("g2").alias("gid")))
     # candidate cells = the probed groups' cells: ~N*probe x K/C evals
     cand = probeg.join(_size_aware_broadcast(spark, sf_dir, c2g), "gid")
-    f1 = _argmin_cos(cand, "embedding", "cv", "cid", "c1")
-    f2 = _argmin_cos(
-        cand.join(f1.select("vec_id", "c1"), "vec_id").filter(
-            F.col("cid") != F.col("c1")
-        ),
-        "embedding",
-        "cv",
-        "cid",
-        "c2",
-    )
-    return f1.select(
-        "vec_id", "embedding", F.col("c1").alias("cid")
-    ).unionByName(f2.select("vec_id", "embedding", F.col("c2").alias("cid")))
+    return _topn_cos(cand, "embedding", "cv", "cid", "cid", SEM_N_PROBE)
 
 
 def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:

@@ -271,6 +271,15 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # by the row_number cap — a
                                           # constant-size model at ANY
                                           # corpus size (lang_confusion)
+        "slevels",                        # the shortlist axis of the ANN
+                                          # operating curve: exactly
+                                          # len(SHORTLIST_LEVELS)=4
+                                          # constant rows at ANY corpus
+                                          # size (ann_recall_curve)
+        "n_unb",                          # the calibration's sampling
+                                          # scalar: a 1-row COUNT
+                                          # aggregate broadcast back
+                                          # (minhash_calibration)
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

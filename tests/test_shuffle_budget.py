@@ -265,16 +265,17 @@ BUDGETS = {
                                       # shuffle into the store bucketing
                                       # + per-doc rollup; history side
                                       # Exchange-free (plan-asserted)
-    "dedup_incremental_semantic": 5,  # r17 two-level assignment: the
-                                      # coarse argmin agg + the fine
-                                      # argmin agg (one extra SLIM
-                                      # (vec_id, embedding) shuffle —
-                                      # the price of N*(C+K/C) distance
-                                      # evals instead of N*K) + probe
-                                      # shuffle + verdict rollup +
-                                      # centroid-frame plumbing; cents
-                                      # broadcasts size-gated, history
-                                      # side Exchange-free
+    "dedup_incremental_semantic": 5,  # r18 coin-seeded two-level probe:
+                                      # cents scalar reduction (cached,
+                                      # SinglePartition of partials) +
+                                      # c2g argmin agg + the coarse and
+                                      # fine bounded top-n aggs (SLIM
+                                      # (vec_id, embedding) shuffles —
+                                      # the price of N*(C+K/C) evals
+                                      # instead of N*K) + verdict
+                                      # rollup; cents/c2g persisted so
+                                      # their subtrees count once,
+                                      # history side Exchange-free
     "quality_c4_filters": 0,          # line synth + line filter + page
                                       # verdict all row-local array
                                       # HOFs — map-only by contract
