@@ -64,3 +64,60 @@ def test_calibration_small_corpora_fully_verified(spark, sf_dir):
         "fixture outgrew VERIFY_TARGET; move this assertion"
     )
     assert not [r for r in rows if r.verify_mode == "sampled_out"]
+
+
+# --------------------------------------------- sampling boundary fixture
+
+def _many_pairs_fixture(spark, tmp_path) -> str:
+    """> VERIFY_TARGET unbounded candidate pairs: 12 clusters of 40
+    byte-identical docs (distinct text per cluster).  Every cluster's
+    hot band buckets emit C(8,2)=28 capped join pairs + 32 star edges
+    = 60 distinct pairs -> 720 total, all size-equal (never
+    size-bounded), so the count-adaptive coin must actually sample."""
+    from pyspark.sql import Row
+
+    from etl_xlsx_potgres_spark.sources.tables import SCHEMAS
+
+    rows = []
+    doc_id = 0
+    for g in range(12):
+        text = f"cluster{g} alpha beta gamma delta epsilon zeta eta{g}"
+        for _ in range(40):
+            rows.append(
+                Row(doc_id=doc_id, text=text, lang="en", source="web",
+                    n_chars=len(text))
+            )
+            doc_id += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_calibration_sampling_fires_and_matches_oracle(spark, tmp_path):
+    """The sampled_out tier only fires past VERIFY_TARGET unbounded
+    pairs — invisible on the standard fixtures below sf0.1.  This
+    synthetic corpus crosses the boundary, and the md5-coin decision
+    must agree with DuckDB bit-for-bit (the r18a integer-coin
+    pattern), pinning the sampling rule itself, not just its quiet
+    small-corpus behavior."""
+    import duckdb
+
+    from .oracle_utils import assert_frames_match
+
+    sf = _many_pairs_fixture(spark, tmp_path)
+    name = "dedup_minhash_calibration"
+    spark_pdf = registry.QUERIES[name](spark, sf).toPandas()
+    modes = spark_pdf["verify_mode"].value_counts().to_dict()
+    assert modes.get("sampled_out", 0) > 0, modes
+    assert modes.get("exact", 0) > 0, modes
+    out = spark_pdf[spark_pdf["verify_mode"] == "sampled_out"]
+    assert out["inter"].isna().all() and out["screen"].isna().all()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle_pdf = con.sql(registry.ORACLES[name]).df()
+    con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
