@@ -38,13 +38,14 @@ Rates are exact integer micro-fractions (``n * 1e6 DIV label_total``
 the whole trigram model is integer arithmetic end-to-end; no float
 enters the pair.
 
-Plan shape: ONE corpus-scale trigram explode feeds both the
-(lang, trigram) training aggregate (map-side partials; the
-distinctiveness window is partitioned by trigram — vocab-sized,
-never global) and the scoring join against the broadcast model; the
-confusion rollup adds one (method, label, predicted) aggregate
-(<= 50-cell frame at any corpus size) and a label-total window over
-that constant frame.
+Plan shape: the localized corpus is persisted once and feeds the
+cascade plus two map-only trigram explodes (training aggregate and
+scoring join — re-exploding from the cache measures cheaper than
+caching the exploded rows); the distinctiveness window is partitioned
+by trigram (vocab-sized, never global), the model join is a
+constant-size broadcast, and the confusion rollup adds one
+(method, label, predicted) aggregate (<= 50-cell frame at any corpus
+size) plus a label-total window over that constant frame.
 
 r16 history: this audit originally exposed a DEGENERATE identifier —
 the raw synthetic text carries no marker words, so every document
@@ -132,6 +133,11 @@ def _trigram_pred(loc: DataFrame) -> DataFrame:
     cascade).  ``loc`` is (doc_id, lang, text=localized).  The lang
     column is used for TRAINING only (profile rates); the per-doc
     prediction is a pure function of text + the broadcast model."""
+    # NOT persisted (measured at sf0.1): caching the exploded
+    # trigram rows costs more than re-running the map-only explode
+    # off the cached localized corpus once per consumer (5.1s with
+    # recompute vs 6.6s with the cache — columnar-caching ~5 string
+    # rows per token loses to codegen)
     tri = loc.select(
         "doc_id", "lang", F.explode(F.expr(_TRI_SPARK)).alias("t")
     )
