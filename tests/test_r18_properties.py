@@ -121,3 +121,80 @@ def test_calibration_sampling_fires_and_matches_oracle(spark, tmp_path):
     oracle_pdf = con.sql(registry.ORACLES[name]).df()
     con.close()
     assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+# ------------------------------------------------ primitive unit tests
+
+def test_topn_cos_matches_window_ranking(spark):
+    """_topn_cos's array_sort-slice must rank exactly like
+    row_number() OVER (ORDER BY cos DESC, id) <= n — including exact
+    cosine ties, which the struct's id field must break ascending."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans.dedup_incremental_more import (
+        _topn_cos,
+    )
+    from etl_xlsx_potgres_spark.plans.similarity import _dot, _norm
+
+    # candidate 20 duplicates candidate 10's vector -> exact cosine tie
+    cands = [(10, [1.0, 0.0]), (20, [1.0, 0.0]), (30, [0.0, 1.0]),
+             (40, [0.6, 0.8])]
+    rows = [
+        Row(vec_id=v, embedding=[1.0, 0.1], cid=c, cv=cv)
+        for v in (1, 2) for c, cv in cands
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.vec_id, r.cid)
+        for r in _topn_cos(df, "embedding", "cv", "cid", "cid", 2).collect()
+    }
+    cos = _dot(F.col("embedding"), F.col("cv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), "cid")
+    want = {
+        (r.vec_id, r.cid)
+        for r in df.select("vec_id", "cid", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    assert got == want
+    # the exact tie between cids 10 and 20 fills BOTH top-2 slots in
+    # id order, pushing the strictly-worse candidate 40 out
+    assert {(1, 10), (1, 20)} <= got and (1, 40) not in got
+
+
+def test_star_edges_equals_groupby_min_formulation(spark, sf_dir):
+    """star_edges reuses the cap window's rank-1 rows as bucket
+    leaders; that must be EXACTLY the groupBy-min formulation (one
+    edge from each bucket's minimum doc_id to every other member)."""
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans.dedup_fuzzy import (
+        _minhash_sig_df,
+        band_rows,
+        ranked_band_rows,
+        star_edges,
+    )
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = _minhash_sig_df(d).filter(F.col("mh0").isNotNull())
+    bands = band_rows(sig)
+    got = {
+        (r.d1, r.d2, r.band_id)
+        for r in star_edges(bands, ranked_band_rows(bands)).collect()
+    }
+    mins = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("d1")
+    )
+    want = {
+        (r.d1, r.d2, r.band_id)
+        for r in bands.join(mins, ["band_id", "band_key"])
+        .filter(F.col("doc_id") > F.col("d1"))
+        .select("d1", F.col("doc_id").alias("d2"), "band_id")
+        .collect()
+    }
+    assert got == want and got
