@@ -557,9 +557,7 @@ def _ivfpq_curve(
 
 @register("ann_recall_curve", oracle=_oracle())
 def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = similarity.valid_vecs(load_table(spark, sf_dir, "embeddings"))
     levels = _levels_frame(spark)
     return _ivf_curve(spark, sf_dir, emb, levels).unionByName(
         _ivfpq_curve(spark, sf_dir, emb, levels)

@@ -455,13 +455,23 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_neardup",
     oracle="""
+    WITH vecs AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+        AND list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+            < 'infinity'::DOUBLE
+    )
     SELECT a.vec_id AS v1, b.vec_id AS v2,
            list_sum(list_transform(list_zip(a.embedding, b.embedding),
                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
            / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
               * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
              AS cosine
-    FROM embeddings a JOIN embeddings b
+    FROM vecs a JOIN vecs b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -471,9 +481,12 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import norm_flat
+    from .similarity import norm_flat, valid_vecs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # zero-norm/NULL guard (r19): a zero-norm side would make the pair
+    # cosine NaN — and NaN >= 0.4 is TRUE on both engines, silently
+    # promoting a degenerate vector to a near-dup of its whole block
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     # Verify-stage shape, r9 re-adjudicated (isolated n=6 at sf0.1):
     # norms are per-VECTOR, computed once pre-join where the 64-term
     # norm_flat compiles fine on its own; the per-PAIR dot is the
@@ -637,13 +650,13 @@ def _size_aware_broadcast(
 
 
 def _emb_lsh_oracle() -> str:
-    from .similarity import sql_sign_plane_signature
+    from .similarity import duck_valid, sql_sign_plane_signature
 
     return f"""
     WITH sig AS (
       SELECT vec_id, embedding,
              {sql_sign_plane_signature("embedding")} AS sig
-      FROM embeddings
+      FROM embeddings WHERE {duck_valid()}
     ),
     bands AS (
       SELECT vec_id, embedding, b, substring(sig, b * 4 + 1, 4) AS bk
@@ -667,9 +680,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot_pairs_pandas,
         norm_flat,
         sign_plane_signature_pandas,
+        valid_vecs,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # zero-norm/NULL guard (r19): a NULL embedding crashes the Arrow
+    # signature UDF's np.stack, and a zero-norm one NaNs its cosines
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     # band rows are SLIM (vec_id, band, 4-bit key): the candidate
     # shuffle and distinct never carry vectors — the arrays join back
     # afterwards (broadcast here; id-keyed shuffle join at 100 TB)

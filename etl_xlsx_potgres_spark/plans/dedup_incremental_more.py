@@ -68,7 +68,7 @@ from ..sources import load_table
 from .dedup_fuzzy import _DUCK_SHINGLES, _NORM
 from .dedup_incremental import N_BUCKETS, _store_root
 from .importance_sampling import _duck_hex6
-from .similarity import _dot, _duck_cos, _norm
+from .similarity import _dot, _duck_cos, _norm, duck_valid, valid_vecs
 
 HAM_T = 8          # max Hamming distance (of 64) for a simhash near-dup
 JACCARD_T = 0.05   # the dedup_ngram_jaccard threshold
@@ -524,11 +524,11 @@ _SEM_DUCK_COIN = _duck_hex6("md5(CAST(vec_id AS VARCHAR))")
 # one geometry, one place, the dedup_fuzzy._BANDS_SQL discipline)
 _SEM_CTES = f"""hvecs AS (
   SELECT vec_id, embedding FROM embeddings
-  WHERE embedding IS NOT NULL AND vec_id % 10 <> 0
+  WHERE {duck_valid()} AND vec_id % 10 <> 0
 ),
 nvecs AS (
   SELECT vec_id, embedding FROM embeddings
-  WHERE embedding IS NOT NULL AND vec_id % 10 = 0
+  WHERE {duck_valid()} AND vec_id % 10 = 0
 ),
 hstats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -605,8 +605,7 @@ SELECT d.vec_id,
        COALESCE(per.n_hist_candidates, 0) AS n_hist_candidates,
        COALESCE(per.n_hist_neardups, 0) AS n_hist_neardups,
        COALESCE(per.n_hist_neardups, 0) = 0 AS keep
-FROM (SELECT vec_id FROM embeddings
-      WHERE embedding IS NOT NULL AND vec_id % 10 = 0) d
+FROM (SELECT vec_id FROM nvecs) d
 LEFT JOIN per ON per.vec_id = d.vec_id
 """
 
@@ -675,6 +674,20 @@ def _sem_coarse(cents: DataFrame) -> DataFrame:
     )
 
 
+def _rank_struct(cos, cand_id: str):
+    """The family's (cos DESC, id ASC) rank key as an ascending-min
+    struct.  The leading NaN flag makes the struct ordering agree with
+    ``ORDER BY cos DESC`` on BOTH engines even for NaN cosines (both
+    rank NaN first under DESC, but -NaN would rank LAST in a bare
+    struct min — the r19 ordering hazard the similarity guard closes
+    at the scan; this key closes it in the primitive itself)."""
+    return F.struct(
+        (~F.isnan(cos)).cast("int").alias("nn"),
+        (-cos).alias("nc"),
+        F.col(cand_id).alias("i"),
+    )
+
+
 def _argmin_cos(
     df: DataFrame, vec_col: str, cand_vec: str, cand_id: str, out: str
 ) -> DataFrame:
@@ -688,7 +701,7 @@ def _argmin_cos(
         df.select(
             "vec_id",
             vec_col,
-            F.struct((-cos).alias("nc"), F.col(cand_id).alias("i")).alias("sc"),
+            _rank_struct(cos, cand_id).alias("sc"),
         )
         .groupBy("vec_id")
         .agg(F.min("sc").alias("mc"), F.first(vec_col).alias(vec_col))
@@ -763,12 +776,13 @@ def _topn_cos(
     (-cos, id) structs per vector (16 bytes each, the vector itself
     moves once via first()), sort, slice — ONE shuffle, no per-vector
     window, no exclusion re-join.  array_sort on the negated-cosine
-    struct ranks exactly like ``row_number() OVER (ORDER BY cos DESC,
-    id) <= n``, which is what the oracle replays."""
+    struct (NaN-first leading key, see :func:`_rank_struct`) ranks
+    exactly like ``row_number() OVER (ORDER BY cos DESC, id) <= n``,
+    which is what the oracle replays — including on NaN cosines."""
     cos = _dot(F.col(vec_col), F.col(cand_vec)) / (
         _norm(F.col(vec_col)) * _norm(F.col(cand_vec))
     )
-    sc = F.struct((-cos).alias("nc"), F.col(cand_id).alias("i"))
+    sc = _rank_struct(cos, cand_id)
     return (
         df.select("vec_id", vec_col, sc.alias("sc"))
         .groupBy("vec_id")
@@ -815,8 +829,8 @@ def _sem_probe(
 
 
 def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
-    hist = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & (F.col("vec_id") % 10 != 0)
+    hist = valid_vecs(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 10 != 0
     ).select("vec_id", "embedding")
     cents = _sem_cents(hist)
     return _provision(
@@ -833,9 +847,7 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("hemb"),
         "cid",
     )
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
         "vec_id", "embedding"
     )
@@ -921,9 +933,7 @@ def ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("hemb"),
         "cid",
     )
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
         "vec_id", "embedding"
     )

@@ -57,6 +57,7 @@ from .pq_search import (
     _subvectors,
 )
 from .pq_trained import _train, _trained_codebook_ctes
+from .similarity import valid_vecs
 
 N_CELLS = 16
 N_PROBE = 4
@@ -215,9 +216,7 @@ def _candidates(emb: DataFrame, cells: DataFrame) -> DataFrame:
 
 @register("ann_ivfpq_search", oracle=_ORACLE)
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     subs = _subvectors(emb)
     # two consumers (the pruned ADC scan + the n_candidates rollup)
     # would otherwise run the cells crossJoin + argmin twice

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from ..sources import load_table
 from .product_quantization import _D2_DUCK, _D2_SPARK, M, PQ_K, SUB_D
+from .similarity import duck_valid, valid_vecs
 
 NQ = 10        # vec_id < 10 are the query vectors (ann_* convention)
 SHORTLIST = 50  # ADC candidates re-ranked exactly, per query
@@ -64,7 +65,7 @@ list_sum(list_transform(generate_series(1, 64), i ->
 # reads whatever CTE is named ``codebook``.
 _VECS_SUBS = f"""\
 vecs AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+  SELECT vec_id, embedding FROM embeddings WHERE {duck_valid()}
 ),
 subs AS (
   SELECT vec_id, m.m,
@@ -291,9 +292,7 @@ def _adc_rerank(
 
 @register("ann_pq_adc_rerank", oracle=_ORACLE)
 def ann_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     subs = _subvectors(emb)
     codebook = subs.filter(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").alias("k"), F.col("sub").alias("csub")

@@ -47,6 +47,7 @@ from ..registry import register
 from ..sources import load_table
 from .product_quantization import _D2_DUCK, _D2_SPARK, M, PQ_K, SUB_D
 from .pq_search import _adc_rerank, _subvectors, search_oracle
+from .similarity import valid_vecs
 
 TRAIN_ITERS = 2
 
@@ -154,8 +155,6 @@ def _train(
 
 @register("ann_pq_trained", oracle=search_oracle(_trained_codebook_ctes()))
 def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     subs = _subvectors(emb)
     return _adc_rerank(spark, sf_dir, emb, subs, _train(subs))

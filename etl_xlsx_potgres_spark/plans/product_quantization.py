@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
+from .similarity import duck_valid, valid_vecs
 
 M = 4        # subspaces
 SUB_D = 16   # dims per subspace (M * SUB_D = 64 = EMB_DIM)
@@ -55,7 +56,7 @@ list_sum(list_transform(generate_series(1, {SUB_D}), i ->
     "emb_pq_encode",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, embedding FROM embeddings WHERE {duck_valid()}
     ),
     subs AS (
       SELECT vec_id, m.m,
@@ -84,9 +85,7 @@ list_sum(list_transform(generate_series(1, {SUB_D}), i ->
     """,
 )
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     sub_structs = F.array(
         *[
             F.struct(

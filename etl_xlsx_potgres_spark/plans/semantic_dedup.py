@@ -72,6 +72,14 @@ from .corpus_ops import EMB_DIM, KMEANS_K
 TAU = 0.3
 _C = math.isqrt(KMEANS_K - 1) + 1  # ceil(sqrt(K)); fixture: 4
 
+# the family's shared zero-norm/NULL guard (plans/similarity.py r19):
+# a zero-norm member would make every within-cluster cosine NaN and
+# the keep-rule engine-divergent
+from .similarity import duck_valid as _duck_valid_fn
+from .similarity import valid_vecs as _valid_vecs
+
+_DUCK_VALID = _duck_valid_fn()
+
 
 def _d2_spark(vec: str, seed: str) -> str:
     """Squared L2, the ``corpus_ops._D2_SPARK`` arithmetic with
@@ -107,7 +115,7 @@ list_sum(list_transform(list_zip(a.embedding, b.embedding),
     "dedup_semantic_clusters",
     oracle=f"""
     WITH vecs AS (
-      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+      SELECT vec_id, embedding FROM embeddings WHERE {_DUCK_VALID}
     ),
     seeds AS (
       SELECT vec_id AS seed_id, embedding AS sv FROM vecs
@@ -169,9 +177,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_coarse = math.isqrt(KMEANS_K - 1) + 1  # from module global: the
     # scale probes patch KMEANS_K, and C must track it (C ∝ sqrt(K))
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    emb = _valid_vecs(load_table(spark, sf_dir, "embeddings"))
     seeds = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("sv")
     )

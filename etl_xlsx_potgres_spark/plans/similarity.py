@@ -53,6 +53,66 @@ def _duck_cos(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+# --- Zero-norm / NULL-embedding guard (r19, VERDICT r18 task 1) -------
+#
+# A zero-norm embedding makes every cosine against it 0/0 = NaN, and
+# the two engines RANK NaN differently in the family's two argmin/
+# top-n formulations: Spark's min(struct(-cos, id)) puts -NaN last
+# (NaN is the largest double in an ascending struct sort) while
+# `ORDER BY cosine DESC` puts NaN FIRST in both Spark windows and
+# DuckDB — so a single zero-norm vector in a corpus would flip every
+# differential in the similarity family at once.  The shared guard
+# excludes the degenerate input class at the scan on BOTH engines:
+# embedding present, no NULL components (a NULL component NULLs the
+# Spark fold but is SKIPPED by DuckDB's list_sum — the guard must not
+# itself diverge), and a FINITE, strictly positive squared norm (the
+# cosine denominator's radicand, same sequential fold both engines
+# run — so "guarded" is exactly "the cosine below cannot be NaN").
+# `0 < sq < inf` is one predicate pair covering every degenerate
+# norm: zero vectors and empty arrays fail `> 0` (Spark folds [] to
+# 0.0, DuckDB list_sum gives NULL — both drop), NaN components make
+# sq NaN and Inf components make it +inf — and BOTH engines rank NaN
+# above every double, so `sq < inf` rejects both.  Under ANSI mode
+# (the engine default) an unguarded zero norm doesn't even diverge —
+# it ABORTS the query with DIVIDE_BY_ZERO; the guard is what lets a
+# real corpus with a few broken rows run at all.
+
+def sq_norm(col):
+    """Sum of squared components — the cosine denominator's radicand,
+    as the same sequential double fold the family's norms use."""
+    return F.aggregate(
+        col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+
+
+def valid_vecs(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """The similarity family's shared input guard: drop NULL,
+    NULL-component, and zero-norm embeddings (see the section
+    comment).  Every query whose cosine feeds a ranking reads its
+    vectors through this; :func:`duck_valid` is the oracle twin."""
+    c = F.col(col)
+    sq = sq_norm(c)
+    return emb.filter(
+        c.isNotNull()
+        & ~F.exists(c, lambda x: x.isNull())
+        & (sq > 0)
+        & (sq < F.lit(float("inf")))
+    )
+
+
+def duck_valid(col: str = "embedding") -> str:
+    """DuckDB twin of :func:`valid_vecs`'s predicate."""
+    sq = (
+        f"list_sum(list_transform({col},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    return (
+        f"{col} IS NOT NULL"
+        f" AND len(list_filter({col}, x -> x IS NULL)) = 0"
+        f" AND {sq} > 0 AND {sq} < 'infinity'::DOUBLE"
+    )
+
+
 # Portable sign-plane family for cross-engine LSH: coefficient s(p,d)
 # is +-1 decided by one md5 hex digit, and projections are sequential
 # double folds — both bit-identical in Spark and DuckDB, so LSH
@@ -116,18 +176,21 @@ def sql_sign_plane_signature(vec: str, bits: int = HP_BITS) -> str:
 @register(
     "ann_cosine_topk",
     oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {duck_valid()}
+    )
     SELECT qid, vec_id, cosine, rn FROM (
       SELECT q.vec_id AS qid, v.vec_id AS vec_id,
              {_duck_cos("q.embedding", "v.embedding")} AS cosine,
              row_number() OVER (PARTITION BY q.vec_id ORDER BY
                {_duck_cos("q.embedding", "v.embedding")} DESC, v.vec_id) AS rn
-      FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+      FROM vecs q JOIN vecs v ON q.vec_id <> v.vec_id
       WHERE q.vec_id < {N_QUERIES}
     ) WHERE rn <= {TOP_K}
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -178,7 +241,7 @@ def _flip_bit_sql(bucket: str, i: int) -> str:
     WITH sig AS (
       SELECT vec_id, embedding,
              {sql_sign_plane_signature("embedding", N_PLANES)} AS bucket
-      FROM embeddings
+      FROM embeddings WHERE {duck_valid()}
     ),
     probes AS (
       SELECT vec_id AS qid, embedding AS qv,
@@ -198,7 +261,7 @@ def _flip_bit_sql(bucket: str, i: int) -> str:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings")).withColumn(
         "bucket", sign_plane_signature("embedding", N_PLANES)
     )
 
@@ -255,7 +318,7 @@ BRP_MIN_RECALL = 0.6
     "ann_ml_brp_lsh",
     oracle=f"""
     SELECT vec_id AS qid, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings WHERE vec_id < {N_QUERIES} AND {duck_valid()}
     ORDER BY qid
     """,
 )
@@ -263,7 +326,7 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings")).withColumn(
         "v", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -286,7 +349,7 @@ def ann_ml_brp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # i.e. <= 10 rows) so it gets an explicit broadcast hint — relying
     # on size stats for a non-equi join risks a CartesianProduct
     # fallback on a large corpus; the corpus itself is never broadcast.
-    raw = load_table(spark, sf_dir, "embeddings")
+    raw = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     q = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
@@ -352,8 +415,11 @@ N_PROBE = 4
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings WHERE {duck_valid()}
+    ),
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM vecs
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_CELLS}
     ),
     assign AS (
@@ -361,7 +427,7 @@ N_PROBE = 4
         SELECT v.vec_id, v.embedding, c.cid,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
                  {_duck_cos("v.embedding", "c.cv")} DESC, c.cid) AS arn
-        FROM embeddings v CROSS JOIN cents c
+        FROM vecs v CROSS JOIN cents c
       ) WHERE arn = 1
     ),
     probes AS (
@@ -369,7 +435,7 @@ N_PROBE = 4
         SELECT q.vec_id AS qid, c.cid,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                  {_duck_cos("q.embedding", "c.cv")} DESC, c.cid) AS prn
-        FROM embeddings q CROSS JOIN cents c
+        FROM vecs q CROSS JOIN cents c
         WHERE q.vec_id < {N_QUERIES}
       ) WHERE prn <= {N_PROBE}
     )
@@ -380,12 +446,12 @@ N_PROBE = 4
                {_duck_cos("q.embedding", "a.embedding")} DESC, a.vec_id) AS rn
       FROM probes p
       JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
-      JOIN embeddings q ON q.vec_id = p.qid
+      JOIN vecs q ON q.vec_id = p.qid
     ) WHERE rn <= {TOP_K}
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     cents = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(N_CELLS)

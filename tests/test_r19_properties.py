@@ -1,0 +1,202 @@
+"""r19 property checks: the similarity family's zero-norm/NULL
+embedding guard (VERDICT r18 task 1).
+
+A zero-norm embedding makes every cosine against it 0/0 = NaN, and
+the engines rank NaN differently across the family's two argmin
+formulations (Spark's ``min(struct(-cos, id))`` puts NaN last, both
+engines' ``ORDER BY cosine DESC`` put it first) — so one degenerate
+vector would flip every differential in the family at once.  No
+driver fixture carries such a row (checked at all three SFs in r18),
+which made the hazard LATENT; these tests exercise the guard
+non-vacuously on a synthetic corpus that actually contains a
+zero-norm, a NULL, and a NULL-component embedding on BOTH sides of
+the incremental 90/10 split.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from etl_xlsx_potgres_spark import registry
+
+from .oracle_utils import assert_frames_match
+
+registry.load_all()
+
+DIM = 64  # the family's EMB_DIM (norm_flat/PQ unroll exactly 64 dims)
+ZERO_NEW, ZERO_HIST = 20, 31    # all-zero embeddings (new / history)
+NULL_NEW, NULLC_HIST = 40, 51   # NULL embedding / NULL component
+NAN_HIST = 41                   # NaN component (sq norm = NaN)
+DEGENERATE = {ZERO_NEW, ZERO_HIST, NULL_NEW, NULLC_HIST, NAN_HIST}
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, non-degenerate, with a few genuine near-dups
+    # across the %10 split: 10 duplicates 11, 30 duplicates 33
+    if i == 10:
+        i = 11
+    if i == 30:
+        i = 33
+    return [float(((i * 7 + d * 3) % 11) - 5) for d in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def degen_sf(spark, tmp_path_factory) -> str:
+    from pyspark.sql import Row
+
+    from etl_xlsx_potgres_spark.sources.tables import SCHEMAS
+
+    rows = []
+    for i in range(60):
+        if i == NULL_NEW:
+            emb = None
+        elif i in (ZERO_NEW, ZERO_HIST):
+            emb = [0.0] * DIM
+        elif i == NULLC_HIST:
+            emb = [1.0] * (DIM - 1) + [None]
+        elif i == NAN_HIST:
+            emb = [1.0] * (DIM - 1) + [float("nan")]
+        else:
+            emb = _vec(i)
+        rows.append(Row(vec_id=i, embedding=emb, label=i % 4))
+    out = tmp_path_factory.mktemp("degen")
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    return str(out)
+
+
+def _run_pair(spark, degen_sf: str, name: str):
+    spark_pdf = registry.QUERIES[name](spark, degen_sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{degen_sf}/embeddings.parquet/*.parquet')"
+    )
+    oracle_pdf = con.sql(registry.ORACLES[name]).df()
+    con.close()
+    return spark_pdf, oracle_pdf
+
+
+@pytest.mark.parametrize(
+    "name,id_cols",
+    [
+        ("ann_cosine_topk", ["qid", "vec_id"]),
+        ("ann_ivf_topk", ["qid", "vec_id"]),
+        ("dedup_embedding_neardup", ["v1", "v2"]),
+        ("dedup_incremental_semantic", ["vec_id"]),
+        ("ann_incremental_ivf", ["vec_id", "neighbor_id"]),
+        ("dedup_semantic_clusters", ["cluster_id"]),
+    ],
+)
+def test_guard_excludes_degenerates_and_keeps_parity(
+    spark, degen_sf, name, id_cols
+):
+    """On a corpus that CARRIES degenerate embeddings, every family
+    query must (a) still hash-match its DuckDB oracle — the ordering
+    hazard the guard closes — and (b) never emit a degenerate id."""
+    spark_pdf, oracle_pdf = _run_pair(spark, degen_sf, name)
+    assert len(spark_pdf) > 0, f"{name}: guard emptied the result"
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+    for c in id_cols:
+        seen = set(spark_pdf[c].dropna().astype(int).tolist())
+        assert not (seen & DEGENERATE), f"{name}.{c}: degenerate id leaked"
+
+
+def test_guarded_dedup_still_finds_true_neardups(spark, degen_sf):
+    """Non-vacuity the other way: the guard must not eat REAL rows —
+    the planted cross-split duplicates keep their near-dup verdicts."""
+    pdf = registry.QUERIES["dedup_incremental_semantic"](
+        spark, degen_sf
+    ).toPandas().set_index("vec_id")
+    assert not bool(pdf.loc[10, "keep"])  # 10 re-presents history 11
+    assert not bool(pdf.loc[30, "keep"])  # 30 re-presents history 33
+    # the degenerate new-batch ids are DROPPED, not kept-by-default
+    assert ZERO_NEW not in pdf.index and NULL_NEW not in pdf.index
+
+
+def test_valid_vecs_predicate_matches_duck(spark):
+    """The guard predicate itself agrees row-by-row across engines on
+    every degenerate shape (NULL array, NULL component, zero norm,
+    empty array, normal)."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from etl_xlsx_potgres_spark.plans.similarity import duck_valid, valid_vecs
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 2.0]),
+        Row(vec_id=1, embedding=None),
+        Row(vec_id=2, embedding=[0.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, None]),
+        Row(vec_id=4, embedding=[]),
+        Row(vec_id=5, embedding=[1.0, float("nan")]),
+        Row(vec_id=6, embedding=[1.0, float("inf")]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(r.vec_id for r in valid_vecs(df).collect())
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            "SELECT vec_id FROM (VALUES (0, [1.0, 2.0]), (1, NULL),"
+            " (2, [0.0, 0.0]), (3, [1.0, NULL]),"
+            " (4, []::DOUBLE[]), (5, [1.0, 'nan'::DOUBLE]),"
+            " (6, [1.0, 'infinity'::DOUBLE])) t(vec_id, embedding) WHERE "
+            + duck_valid()
+        ).fetchall()
+    )
+    con.close()
+    assert got == want == [0]
+
+
+def test_topn_and_argmin_rank_nan_like_the_window(spark):
+    """With a NaN-cosine candidate in play (NaN component — under ANSI
+    a zero norm would abort at the division instead), _topn_cos and
+    _argmin_cos must rank exactly like ``ORDER BY cos DESC, id`` —
+    NaN FIRST — the r19 _rank_struct alignment (ADVICE r18 low)."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans.dedup_incremental_more import (
+        _argmin_cos,
+        _topn_cos,
+    )
+    from etl_xlsx_potgres_spark.plans.similarity import _dot, _norm
+
+    cands = [(10, [1.0, 0.0]), (20, [float("nan"), 1.0]), (30, [0.0, 1.0]),
+             (40, [0.6, 0.8])]
+    rows = [
+        Row(vec_id=v, embedding=[1.0, 0.1], cid=c, cv=cv)
+        for v in (1, 2) for c, cv in cands
+    ]
+    df = spark.createDataFrame(rows)
+    cos = _dot(F.col("embedding"), F.col("cv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), "cid")
+    ranked = df.select("vec_id", "cid", cos.alias("c")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    for n in (1, 2):
+        got = {
+            (r.vec_id, r.cid)
+            for r in _topn_cos(df, "embedding", "cv", "cid", "cid", n).collect()
+        }
+        want = {
+            (r.vec_id, r.cid)
+            for r in ranked.filter(F.col("rn") <= n).collect()
+        }
+        assert got == want, f"n={n}: {got} != {want}"
+    # the NaN candidate outranks everything, exactly like DESC windows
+    assert {(1, 20), (2, 20)} == {
+        (r.vec_id, r.cid)
+        for r in _argmin_cos(df, "embedding", "cv", "cid", "cid").collect()
+    }
