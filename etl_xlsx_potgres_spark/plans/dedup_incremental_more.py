@@ -512,8 +512,17 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vectors in a single task.  MIN(coin) is the hard >=1 floor: the
 # minimum-coin vector is always both a seed and a coarse seed, so
 # seeding can never come up empty however the coins fall.  All
-# threshold arithmetic is BIGINT (coin < 2^24; products stay far from
-# overflow), bit-exact across Spark and DuckDB.
+# threshold arithmetic is BIGINT and bit-exact across Spark and
+# DuckDB, with every product PROVABLY in range (r19, ADVICE r18
+# medium): the small-history widening terms ``coin * n (* cs)`` are
+# gated on ``n < SEM_CELL_SIZE * SEM_MIN_CELLS`` — the only regime
+# where they can fire at all (for larger n they are implied by the
+# ungated rate terms: coin*n < HEX6*MIN_CELLS with n >= CELL*MIN
+# forces coin*CELL < HEX6) — so their operands stay under 2^36,
+# while the ungated ``coin * SEM_CELL_SIZE * cs`` term needs
+# n > 2^72 history vectors to overflow.  The ungated Spark-side
+# ``coin * n`` of an unguarded scheme would wrap silently past
+# n ~ 2^39 (DuckDB raises), diverging exactly at scale.
 
 HEX6 = 16 ** 6  # the md5-coin space: first 6 hex digits as an integer
 
@@ -544,11 +553,13 @@ coined AS (
 cents AS (
   SELECT vec_id AS cid, embedding AS cv,
          (coin * {SEM_CELL_SIZE} * cs < {HEX6}
-          OR coin * n * cs < {HEX6} * {SEM_MIN_CELLS}
+          OR (n < {SEM_CELL_SIZE * SEM_MIN_CELLS}
+              AND coin * n * cs < {HEX6} * {SEM_MIN_CELLS})
           OR coin = mincoin) AS is_coarse
   FROM coined
   WHERE coin * {SEM_CELL_SIZE} < {HEX6}
-     OR coin * n < {HEX6} * {SEM_MIN_CELLS}
+     OR (n < {SEM_CELL_SIZE * SEM_MIN_CELLS}
+         AND coin * n < {HEX6} * {SEM_MIN_CELLS})
      OR coin = mincoin
 ),
 coarse AS (
@@ -641,14 +652,23 @@ def _sem_cents(hist: DataFrame) -> DataFrame:
     from ..caching import scoped_persist
 
     is_floor = F.col("coin") == F.col("mincoin")
+    # the widening terms are GATED on the small-history regime where
+    # alone they can fire (see the section comment): ungated, coin * n
+    # wraps BIGINT past n*cs ~ 2^39 — Spark wraps silently where
+    # DuckDB raises, so the engines would diverge exactly at scale
+    small = F.col("n") < SEM_CELL_SIZE * SEM_MIN_CELLS
     is_seed = (
         (F.col("coin") * SEM_CELL_SIZE < HEX6)
-        | (F.col("coin") * F.col("n") < HEX6 * SEM_MIN_CELLS)
+        | (small & (F.col("coin") * F.col("n") < HEX6 * SEM_MIN_CELLS))
         | is_floor
     )
     is_coarse = (
         (F.col("coin") * SEM_CELL_SIZE * F.col("cs") < HEX6)
-        | (F.col("coin") * F.col("n") * F.col("cs") < HEX6 * SEM_MIN_CELLS)
+        | (
+            small
+            & (F.col("coin") * F.col("n") * F.col("cs")
+               < HEX6 * SEM_MIN_CELLS)
+        )
         | is_floor
     )
     # persisted: the cents frame is centroid-sized (~N/64 rows) but

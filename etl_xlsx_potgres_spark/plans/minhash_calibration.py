@@ -23,14 +23,17 @@ data in ``verify_mode``:
   keep the size bound (``jmax_micro``) but carry NULL exact columns.
 - ``sampled_out``: of the remaining pairs, only a deterministic
   md5-coin sample of expected size VERIFY_TARGET pays the exact
-  joins (keep iff ``coin(d1,d2) * n_unbounded < 16^6 *
-  VERIFY_TARGET`` — the count-adaptive coin threshold, one scalar
-  aggregate broadcast back, the ``dedup_incremental_more`` seeding
-  pattern).  When n_unbounded <= VERIFY_TARGET every pair passes
-  (coin < 16^6 always), so small corpora — including the sf0.01
-  driver gate — are still FULLY verified; at scale the exact-verify
-  cost is a constant ~VERIFY_TARGET pairs however the candidate set
-  grows.  Sampled-out rows carry NULL exact columns and NULL screen.
+  joins (keep iff ``coin(d1,d2) < (16^6 * VERIFY_TARGET) DIV
+  n_unbounded`` — the count-adaptive coin threshold stated as a
+  floor DIVISION so the arithmetic cannot wrap BIGINT at any
+  candidate-set size (r19, ADVICE r18); one scalar aggregate
+  broadcast back, the ``dedup_incremental_more`` seeding pattern).
+  When n_unbounded <= VERIFY_TARGET every pair passes (the
+  threshold is >= 16^6, above every coin), so small corpora —
+  including the sf0.01 driver gate — are still FULLY verified; at
+  scale the exact-verify cost is a constant ~VERIFY_TARGET pairs
+  however the candidate set grows.  Sampled-out rows carry NULL
+  exact columns and NULL screen.
 - ``exact``: the full est-vs-exact row, as before.
 
 Exactness: ``est = n_eq/8`` and ``exact = inter/union`` are single
@@ -116,7 +119,8 @@ _SPARK_COIN = (
     tiered AS (
       SELECT d1, d2, na, nb,
              CASE WHEN is_bounded THEN 'bounded'
-                  WHEN coin * n_unbounded < {HEX6 * VERIFY_TARGET}
+                  WHEN coin < {HEX6 * VERIFY_TARGET}
+                             // GREATEST(n_unbounded, 1)
                     THEN 'exact'
                   ELSE 'sampled_out' END AS verify_mode
       FROM sized CROSS JOIN unb
@@ -206,8 +210,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         F.when(F.col("is_bounded"), "bounded")
         .when(
-            F.col("coin") * F.col("n_unbounded")
-            < F.lit(HEX6 * VERIFY_TARGET).cast("long"),
+            # coin-threshold as a floor DIVISION, not coin * n < H*T:
+            # the product wraps BIGINT once the unbounded candidate
+            # count passes ~5.5e11 (plausible at the 100-TB corpus
+            # this tier exists for) — Spark wraps silently where
+            # DuckDB raises (ADVICE r18 low).  Non-negative operands:
+            # DuckDB // truncation == floor == Spark DIV.
+            F.col("coin")
+            < F.expr(
+                f"{HEX6 * VERIFY_TARGET}L DIV GREATEST(n_unbounded, 1L)"
+            ),
             "exact",
         )
         .otherwise("sampled_out")

@@ -200,3 +200,59 @@ def test_topn_and_argmin_rank_nan_like_the_window(spark):
         (r.vec_id, r.cid)
         for r in _argmin_cos(df, "embedding", "cv", "cid", "cid").collect()
     }
+
+
+# ------------------------------------------- overflow-gate equivalence
+
+def test_sem_seed_overflow_gate_is_exact():
+    """ADVICE r18 medium: the md5-coin widening terms are gated on
+    n < SEM_CELL_SIZE*SEM_MIN_CELLS so no BIGINT product can wrap.
+    Python ints don't overflow, so the UNBOUNDED arithmetic is the
+    ground truth here — the gated predicate must equal it for every
+    history size, including the n ~ 2.7e8 regime where the ungated
+    Spark product would have wrapped (and DuckDB raised)."""
+    import math
+
+    from etl_xlsx_potgres_spark.plans.dedup_incremental_more import (
+        HEX6,
+        SEM_CELL_SIZE,
+        SEM_MIN_CELLS,
+    )
+
+    small_cut = SEM_CELL_SIZE * SEM_MIN_CELLS
+    sizes = [1, 3, small_cut - 1, small_cut, small_cut + 1, 10_000,
+             270_000_000, 2**39, 2**45]
+    # coins straddling every threshold boundary per n
+    for n in sizes:
+        cs = math.isqrt(max(n // SEM_CELL_SIZE, SEM_MIN_CELLS) - 1) + 1
+        bounds = {
+            0, 1, HEX6 - 1,
+            HEX6 // SEM_CELL_SIZE, HEX6 // (SEM_CELL_SIZE * cs),
+            (HEX6 * SEM_MIN_CELLS) // n, (HEX6 * SEM_MIN_CELLS) // (n * cs),
+        }
+        coins = set()
+        for b in bounds:
+            coins |= {max(0, b - 1), b, min(HEX6 - 1, b + 1)}
+        for coin in coins:
+            truth_seed = (
+                coin * SEM_CELL_SIZE < HEX6
+                or coin * n < HEX6 * SEM_MIN_CELLS  # unbounded ints
+            )
+            gated_seed = (
+                coin * SEM_CELL_SIZE < HEX6
+                or (n < small_cut and coin * n < HEX6 * SEM_MIN_CELLS)
+            )
+            assert gated_seed == truth_seed, (n, coin)
+            truth_coarse = (
+                coin * SEM_CELL_SIZE * cs < HEX6
+                or coin * n * cs < HEX6 * SEM_MIN_CELLS
+            )
+            gated_coarse = (
+                coin * SEM_CELL_SIZE * cs < HEX6
+                or (n < small_cut and coin * n * cs < HEX6 * SEM_MIN_CELLS)
+            )
+            assert gated_coarse == truth_coarse, (n, coin, cs)
+            # and the gated products actually fit in BIGINT
+            if n < small_cut:
+                assert coin * n * cs < 2**63
+            assert coin * SEM_CELL_SIZE * cs < 2**63
