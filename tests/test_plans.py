@@ -150,7 +150,13 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
     |V|-row iteration state) forces an executor OOM at 100x data —
     those joins must be left to AQE (which still broadcasts them at
     small SF) or routed through a size gate (`_size_aware_broadcast`,
-    `_gated_vector_hint`)."""
+    `_gated_vector_hint`).
+
+    The name allowlist below is FROZEN as of r19 (VERDICT r18 task 4:
+    it grew by hand for three rounds).  New constant-size hints must
+    route through ``etl_xlsx_potgres_spark.hints.constant_size`` —
+    the structural marker this lint recognizes — instead of adding
+    names here."""
     import pathlib
     import re
 
@@ -332,6 +338,28 @@ def _broadcast_hints(source: str) -> list[tuple[int, str]]:
         if is_hint:
             hits.append((node.lineno, chain(node.args[0])))
     return hits
+
+
+def test_constant_size_marker_passes_and_raw_broadcast_is_flagged():
+    """The structural marker path (r19): a hint routed through
+    ``hints.constant_size`` is invisible to the broadcast lint (the
+    call site carries the contract), while the same frame hinted with
+    raw ``F.broadcast`` under a non-allowlisted name is still flagged
+    — the negative control that keeps the frozen allowlist honest."""
+    from etl_xlsx_potgres_spark.hints import constant_size  # noqa: F401
+
+    wrapped = (
+        "def plan(spark):\n"
+        "    scaling_frame = spark.read.parquet('x')\n"
+        "    return other.join(constant_size(scaling_frame), 'k')\n"
+    )
+    assert _broadcast_hints(wrapped) == []
+    raw = (
+        "def plan(spark):\n"
+        "    scaling_frame = spark.read.parquet('x')\n"
+        "    return other.join(F.broadcast(scaling_frame), 'k')\n"
+    )
+    assert _broadcast_hints(raw) == [(3, "scaling_frame")]
 
 
 def test_broadcast_guard_catches_multiline_hints():
