@@ -14,16 +14,20 @@ sweep):
   md5-of-normalized-text fingerprint, bucketed on ``fp``: the
   cheapest tier, a pure key-probe (the verdict needs no verify
   stage).
-- Semantic (SemDeDup-style): history rows ``(vec_id, cid,
-  embedding)`` bucketed on the cell id — cells are seeded by a
+- Semantic (SemDeDup-style): history rows ``(vec_id, cid, embedding,
+  vrank, cell_n)`` bucketed on the cell id — cells are seeded by a
   MAP-ONLY md5-coin (no window, no sort; see the section comment), a
   new vector probes its top-{SEM_N_PROBE} cells (``min(struct)``
   argmax-cosine, map-side partials, rank-2 by exclusion) and
-  compares exact cosines ONLY within the probed cells' history
-  lists (cosine >= {COS_T}, the fixture-calibrated
-  ``dedup_embedding_neardup`` threshold); at production scale the
-  cells are SemDeDup's K lists and the store scan per batch touches
-  only probed buckets.
+  compares exact cosines ONLY against each probed cell's coin-ranked
+  first {SEM_VERIFY_CAP} members (``vrank``, denormalized at write
+  time; cosine >= {COS_T}, the fixture-calibrated
+  ``dedup_embedding_neardup`` threshold), with the cells' true
+  occupancy (``cell_n``) reported as ``n_cand_unbounded`` so the
+  clip is visible data; at production scale the cells are SemDeDup's
+  K lists and the store scan per batch touches only probed buckets,
+  each contributing a BOUNDED verify block however skewed realized
+  occupancy gets.
 
 - SimHash: history rows ``(doc_id, simhash, band)`` where ``band``
   fuses the band id into one 16-byte key —
@@ -79,6 +83,16 @@ SEM_MIN_CELLS = 16     # floor of the scaled cell count
 SEM_CELL_SIZE = 64     # target history vectors per cell (cells ~ N/64)
 SEM_N_PROBE = 2    # cells probed per new vector (IVF probe discipline)
 COS_T = 0.4        # the dedup_embedding_neardup fixture threshold
+# per-cell exact-verify bound (r19, VERDICT r18 task 5 — the third
+# application of the BAND_CAP/VERIFY_TARGET discipline): the dedup
+# verdict compares a new vector against AT MOST this many history
+# vectors per probed cell — the coin-ranked first SEM_VERIFY_CAP of
+# the cell (a uniform deterministic sample), so the exact-cosine
+# verify volume is bounded by SEM_N_PROBE * SEM_VERIFY_CAP per new
+# vector HOWEVER skewed realized cell occupancy gets (the residual
+# super-sqrt term in the r18 100x probe).  The clip is visible as
+# data: n_cand_unbounded carries the probed cells' true occupancy.
+SEM_VERIFY_CAP = 4 * SEM_CELL_SIZE
 
 
 def _provision(
@@ -603,18 +617,34 @@ nassign AS (
 
 _SEM_ORACLE = f"""
 WITH {_SEM_CTES},
-per AS (
-  SELECT n.vec_id,
-         CAST(COUNT(*) AS BIGINT) AS n_hist_candidates,
+hranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY cid
+                            ORDER BY {_SEM_DUCK_COIN}, vec_id) AS vrank,
+         CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n
+  FROM hassign
+),
+percell AS (
+  SELECT n.vec_id, n.cid,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
          CAST(SUM(CASE WHEN {_duck_cos("n.embedding", "h.embedding")}
-                       >= {COS_T} THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hist_neardups
-  FROM nassign n JOIN hassign h ON h.cid = n.cid
-  GROUP BY 1
+                       >= {COS_T} THEN 1 ELSE 0 END) AS BIGINT) AS dups,
+         MAX(h.cell_n) AS n_cell
+  FROM nassign n
+  JOIN hranked h ON h.cid = n.cid AND h.vrank <= {SEM_VERIFY_CAP}
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT vec_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_hist_candidates,
+         CAST(SUM(dups) AS BIGINT) AS n_hist_neardups,
+         CAST(SUM(n_cell) AS BIGINT) AS n_cand_unbounded
+  FROM percell GROUP BY 1
 )
 SELECT d.vec_id,
        COALESCE(per.n_hist_candidates, 0) AS n_hist_candidates,
        COALESCE(per.n_hist_neardups, 0) AS n_hist_neardups,
+       COALESCE(per.n_cand_unbounded, 0) AS n_cand_unbounded,
        COALESCE(per.n_hist_neardups, 0) = 0 AS keep
 FROM (SELECT vec_id FROM nvecs) d
 LEFT JOIN per ON per.vec_id = d.vec_id
@@ -849,23 +879,50 @@ def _sem_probe(
 
 
 def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
+    """The bucketed cell store, with the verify-cap rank DENORMALIZED
+    at write time (r19): ``vrank`` orders each cell's members by their
+    md5 coin (a uniform deterministic sample order — the seeding
+    coin's third use), ``cell_n`` carries the cell's true occupancy.
+    Consumers that must bound their per-cell work filter
+    ``vrank <= SEM_VERIFY_CAP`` as a pure SCAN predicate — zero
+    probe-time window/shuffle; the one cid-partitioned window here
+    rides the write-side shuffle the store already pays once."""
+    from pyspark.sql import Window
+
     hist = valid_vecs(load_table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") % 10 != 0
     ).select("vec_id", "embedding")
     cents = _sem_cents(hist)
-    return _provision(
-        spark, sf_dir, "semantic_cell",
-        _sem_assign(spark, sf_dir, hist, cents), "cid",
+    assign = _sem_assign(spark, sf_dir, hist, cents)
+    coin = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    cell = Window.partitionBy("cid")
+    ranked = (
+        assign.withColumn("coin", coin)
+        .withColumn(
+            "vrank", F.row_number().over(cell.orderBy("coin", "vec_id"))
+        )
+        .withColumn("cell_n", F.count(F.lit(1)).over(cell).cast("long"))
+        .drop("coin")
     )
+    return _provision(spark, sf_dir, "semantic_cell", ranked, "cid")
 
 
 @register("dedup_incremental_semantic", oracle=_SEM_ORACLE)
 def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _provision_semantic_store(spark, sf_dir)
-    hist = spark.table(store).select(
+    # the verify arm reads AT MOST SEM_VERIFY_CAP coin-ranked members
+    # per cell — a scan filter on the store's denormalized rank, so
+    # the exact-cosine volume stays bounded under any occupancy skew;
+    # cell_n rides along to report the unbounded volume as data
+    hist = spark.table(store).filter(
+        F.col("vrank") <= SEM_VERIFY_CAP
+    ).select(
         F.col("vec_id").alias("hist_id"),
         F.col("embedding").alias("hemb"),
         "cid",
+        "cell_n",
     )
     emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
     hist_src = emb.filter(F.col("vec_id") % 10 != 0).select(
@@ -882,14 +939,28 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = _dot(F.col("embedding"), F.col("hemb")) / (
         _norm(F.col("embedding")) * _norm(F.col("hemb"))
     )
-    per = (
+    # two-stage rollup: the per-(vec, cell) stage rides the cid join's
+    # partitioning (hash(cid) satisfies the (vec_id, cid) clustering —
+    # no new Exchange); MAX(cell_n) dedups the denormalized occupancy
+    # so the unbounded volume sums once per probed cell
+    percell = (
         nassign.join(hist, "cid")
-        .select("vec_id", (cos >= COS_T).cast("int").alias("is_dup"))
-        .groupBy("vec_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_hist_candidates"),
-            F.sum("is_dup").cast("long").alias("n_hist_neardups"),
+        .select(
+            "vec_id", "cid",
+            (cos >= COS_T).cast("int").alias("is_dup"),
+            "cell_n",
         )
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("is_dup").cast("long").alias("dups"),
+            F.max("cell_n").alias("n_cell"),
+        )
+    )
+    per = percell.groupBy("vec_id").agg(
+        F.sum("cnt").cast("long").alias("n_hist_candidates"),
+        F.sum("dups").cast("long").alias("n_hist_neardups"),
+        F.sum("n_cell").cast("long").alias("n_cand_unbounded"),
     )
     nd = F.coalesce(F.col("n_hist_neardups"), F.lit(0))
     return (
@@ -901,6 +972,9 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hist_candidates"
             ),
             nd.alias("n_hist_neardups"),
+            F.coalesce(F.col("n_cand_unbounded"), F.lit(0)).alias(
+                "n_cand_unbounded"
+            ),
             (nd == 0).alias("keep"),
         )
     )

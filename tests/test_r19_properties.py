@@ -256,3 +256,69 @@ def test_sem_seed_overflow_gate_is_exact():
             if n < small_cut:
                 assert coin * n * cs < 2**63
             assert coin * SEM_CELL_SIZE * cs < 2**63
+
+
+# --------------------------------------------- in-cell verify cap
+
+def _skewed_cell_fixture(spark, tmp_path) -> str:
+    """One cell FAR past SEM_VERIFY_CAP: 400 byte-identical history
+    vectors all argmax to the same centroid (exact cosine ties break
+    to the lowest cid), plus a diverse tail so seeding still spreads.
+    New-batch probes of the hot direction must clip at the cap."""
+    from pyspark.sql import Row
+
+    from etl_xlsx_potgres_spark.sources.tables import SCHEMAS
+
+    hot = [1.0] + [0.0] * 7
+    rows = []
+    for i in range(500):
+        if i % 10 != 0 and i < 445:          # 400 hot history vectors
+            emb = hot
+        else:                                 # diverse tail + new batch
+            emb = [float(((i * 7 + d * 3) % 11) - 5) for d in range(8)]
+        rows.append(Row(vec_id=i, embedding=emb, label=i % 4))
+    # planted hot probes in the new batch
+    for i in (500, 510):
+        rows.append(Row(vec_id=i, embedding=hot, label=0))
+    spark.createDataFrame(rows, SCHEMAS["embeddings"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_semantic_verify_cap_binds_and_matches_oracle(spark, tmp_path):
+    """VERDICT r18 task 5, non-vacuous: on a corpus with a hot cell
+    past SEM_VERIFY_CAP the verify volume must CLIP at the cap (the
+    clip visible as n_cand_unbounded > n_hist_candidates), the capped
+    sample must still find the planted duplicates, and the rule must
+    agree with DuckDB bit-for-bit."""
+    from etl_xlsx_potgres_spark.plans.dedup_incremental_more import (
+        SEM_N_PROBE,
+        SEM_VERIFY_CAP,
+    )
+
+    sf = _skewed_cell_fixture(spark, tmp_path)
+    name = "dedup_incremental_semantic"
+    spark_pdf = registry.QUERIES[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    oracle_pdf = con.sql(registry.ORACLES[name]).df()
+    con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+    by_id = spark_pdf.set_index("vec_id")
+    clipped = by_id[by_id.n_cand_unbounded > by_id.n_hist_candidates]
+    assert len(clipped) > 0, "cap never bound — fixture not skewed enough"
+    for vid in (500, 510):
+        row = by_id.loc[vid]
+        # bounded verify: never more than probe-count * cap candidates
+        assert row.n_hist_candidates <= SEM_N_PROBE * SEM_VERIFY_CAP
+        assert row.n_cand_unbounded > row.n_hist_candidates
+        # the capped coin sample still sees the hot cell's duplicates
+        assert row.n_hist_neardups > 0 and not row.keep
+    # every row's verify volume respects the bound
+    assert (
+        spark_pdf.n_hist_candidates <= SEM_N_PROBE * SEM_VERIFY_CAP
+    ).all()
