@@ -375,3 +375,45 @@ def test_ivfpq_serving_shape_and_recall_data(spark, sf_dir):
         assert grp.n_hits_fullprec.between(0, ANN_TOP_K).all()
         assert grp.n_hits_fullprec.nunique() == 1
     assert pdf.groupby("vec_id").n_hits_fullprec.first().sum() > 0
+
+
+# ------------------------------------- calibration CAP at 10x pairs
+
+def test_calibration_exact_tier_is_capped_at_10x_pairs(spark, tmp_path):
+    """VERDICT r18 task 6: the sampled tier's CONSTANT-COST claim —
+    exact-verified pairs stay ~VERIFY_TARGET however the candidate set
+    grows — was probe-backed only.  120 byte-identical 40-doc clusters
+    emit 7200 unbounded pairs (10x the r18 boundary fixture); the
+    md5-coin must cut the exact tier to VERIFY_TARGET in expectation
+    (binomial sd ~= sqrt(512) ~ 23; the +-150 band is >6 sd), with the
+    rest sampled_out and carrying no exact columns."""
+    from pyspark.sql import Row
+
+    from etl_xlsx_potgres_spark.plans.minhash_calibration import (
+        VERIFY_TARGET,
+    )
+    from etl_xlsx_potgres_spark.sources.tables import SCHEMAS
+
+    rows, doc_id = [], 0
+    for g in range(120):
+        text = f"cluster{g} alpha beta gamma delta epsilon zeta eta{g}"
+        for _ in range(40):
+            rows.append(
+                Row(doc_id=doc_id, text=text, lang="en", source="web",
+                    n_chars=len(text))
+            )
+            doc_id += 1
+    spark.createDataFrame(rows, SCHEMAS["documents"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    pdf = registry.QUERIES["dedup_minhash_calibration"](
+        spark, str(tmp_path)
+    ).toPandas()
+    modes = pdf["verify_mode"].value_counts().to_dict()
+    n_unbounded = len(pdf) - modes.get("bounded", 0)
+    assert n_unbounded >= 10 * VERIFY_TARGET, modes  # the 10x premise
+    n_exact = modes.get("exact", 0)
+    assert abs(n_exact - VERIFY_TARGET) < 150, modes
+    out = pdf[pdf.verify_mode == "sampled_out"]
+    assert len(out) == n_unbounded - n_exact
+    assert out.inter.isna().all() and out.screen.isna().all()
