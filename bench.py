@@ -35,37 +35,121 @@ from etl_xlsx_potgres_spark.session import get_spark
 HEADLINE: list[str] | None = None
 
 
+def _system_busy_jiffies() -> int | None:
+    """Whole-host busy CPU jiffies from /proc/stat (None off-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _proc_tree_jiffies() -> int | None:
+    """utime+stime(+reaped-children cutime/cstime) jiffies summed over
+    this process and every live descendant — the bench's python driver
+    plus the Spark JVM it launched.  A descendant that exits mid-run
+    stays accounted: its time folds into a live ancestor's cutime."""
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return None
+    info: dict[int, tuple[int, int]] = {}
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced with exit
+        try:
+            rest = s[s.rindex(")") + 2:].split()
+            ppid = int(rest[1])
+            jif = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        except (ValueError, IndexError):
+            continue
+        info[pid] = (ppid, jif)
+    me = os.getpid()
+
+    def mine(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = info.get(pid, (0, 0))[0]
+        return False
+
+    return sum(jif for pid, (_, jif) in info.items() if mine(pid))
+
+
+def external_cpu_probe() -> tuple[int, int, float] | None:
+    """(system busy jiffies, own-tree jiffies, wall seconds) snapshot;
+    two snapshots bracket a run and their deltas yield the EXTERNAL
+    cpu-cores average — busy work that is not ours, measured instead
+    of inferred from loadavg (which the bench's own duty cycle
+    pollutes: r19's first two quiet-host runs flagged/unflagged in the
+    WRONG order because the faster run kept 1-min loadavg higher)."""
+    sysj = _system_busy_jiffies()
+    ours = _proc_tree_jiffies()
+    if sysj is None or ours is None:
+        return None
+    return sysj, ours, time.perf_counter()
+
+
+def external_cpu_cores(
+    start: tuple[int, int, float] | None,
+    end: tuple[int, int, float] | None,
+) -> float | None:
+    if start is None or end is None:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    elapsed = max(end[2] - start[2], 1e-6)
+    ext = (end[0] - start[0]) - (end[1] - start[1])
+    return round(max(0.0, ext / hz / elapsed), 3)
+
+
 def load_flag(
     loadavg_1m: list[float],
     cpus: int,
     ratio_stats: dict | None = None,
     anchor_loadavg: list[float] | None = None,
+    ext_cores: float | None = None,
 ) -> bool:
-    """True when the run's loadavg profile shows external load.
+    """True when the run's profile shows external load.
 
-    Four signals (each alone suffices):
+    Signals (each alone suffices):
     - start sample > 0.15*cpus: the bench hasn't run yet, so any load
       at start is external (r14 rule);
     - any sample > cpus: the bench's own load tops out at the worker
       count, anything above is contention (r14 rule);
-    - PERSISTENT mid-run elevation (r16, after the driver's r15 run
-      started at 3.33 — under the start gate — yet benched 1.17x the
-      quiet anchor): on a quiet host the between-pass 1-min samples
-      decay below ~0.18*cpus (quiet-anchor ceiling 5.72/32 = 0.179);
-      when at least half the in-run samples sit above that ceiling,
-      a sustained external contribution is riding under the bench;
-    - DISPERSION vs the anchor's own quiet trace (r17, after the
-      driver's r16 run sampled 3.5-5.5 — under every absolute gate —
-      yet inflated overhead-dominated queries 2.4-4.3x): when ANY
-      sample exceeds 1.25x the committed anchor's own loadavg peak
-      AND at least two of the worst-3 anchor ratios exceed 2x, the
-      blowups track load, not code. Requiring two keeps a genuine
-      single-query regression from being mislabeled as load.
+    - MEASURED external CPU (r19): /proc accounting splits the host's
+      busy jiffies into ours (this process tree: driver + JVM) and
+      everyone else's; more than 0.05*cpus cores of sustained
+      non-ours work is contention by definition, none of the loadavg
+      guesswork.  When the probe is available it REPLACES the r16
+      persistent-elevation heuristic, which misread the bench's own
+      duty cycle (a FASTER run keeps 1-min loadavg higher between
+      passes — r19's two quiet-host runs flagged in the wrong order);
+    - PERSISTENT mid-run elevation (r16) as the fallback where /proc
+      is unavailable: at least half the in-run samples above
+      0.18*cpus;
+    - DISPERSION vs the anchor's own quiet trace (r17): any sample
+      above 1.25x the committed anchor's loadavg peak AND at least
+      two of the worst-3 anchor ratios above 2x — blowups that track
+      load, not code. Requiring two keeps a genuine single-query
+      regression from being mislabeled as load.
     """
     start, rest = loadavg_1m[0], loadavg_1m[1:]
-    persistent = bool(rest) and 2 * sum(
-        s > 0.18 * cpus for s in rest
-    ) >= len(rest)
+    if ext_cores is not None:
+        persistent = ext_cores > 0.05 * cpus
+    else:
+        persistent = bool(rest) and 2 * sum(
+            s > 0.18 * cpus for s in rest
+        ) >= len(rest)
     dispersion = False
     if ratio_stats and anchor_loadavg:
         elevated = any(
@@ -230,6 +314,7 @@ def main() -> None:
     # (and the next round) can discount it.
     cpus = os.cpu_count() or 1
     loadavg_1m: list[float] = [round(os.getloadavg()[0], 2)]
+    ext_start = external_cpu_probe()
 
     def run_once(name: str) -> float:
         df = registry.QUERIES[name](spark, sf_dir)
@@ -285,6 +370,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_ANCHOR", os.path.join(repo, "BENCH_FULL.json")
     )
     ratio_stats, anchor_loadavg = load_anchor(anchor_path, sf, times)
+    ext_cores = external_cpu_cores(ext_start, external_cpu_probe())
 
     total = round(sum(times.values()), 3)
     payload = {
@@ -303,10 +389,17 @@ def main() -> None:
         # stay near (not far above) the worker count
         "loadavg_1m": loadavg_1m,
         "host_cpus": cpus,
-        # Four-part flag — see load_flag() for the signal rationale
-        # (start gate, absolute ceiling, persistent mid-run elevation,
-        # anchor-relative dispersion under elevated load).
-        "load_flag": load_flag(loadavg_1m, cpus, ratio_stats, anchor_loadavg),
+        # Average cpu-cores of MEASURED non-ours work across the run
+        # (/proc accounting; null off-Linux) — the direct signal the
+        # loadavg heuristics approximated.
+        "external_cpu_cores": ext_cores,
+        # Flag — see load_flag() for the signal rationale (start gate,
+        # absolute ceiling, measured external CPU with the r16
+        # persistent-elevation heuristic as fallback, anchor-relative
+        # dispersion under elevated load).
+        "load_flag": load_flag(
+            loadavg_1m, cpus, ratio_stats, anchor_loadavg, ext_cores
+        ),
         "ratio_vs_anchor": ratio_stats,
     }
 

@@ -152,3 +152,33 @@ def test_malformed_anchor_degrades_quietly(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text('{"queries": "not-a-map"}')
     assert bench.load_anchor(str(bad), 0.1, {"q1": 1.0}) == (None, None)
+
+
+def test_measured_external_cpu_replaces_persistent_heuristic():
+    """r19: a fast quiet-host run keeps between-pass 1-min loadavg
+    above the r16 ceiling (the bench's own duty cycle) — with the
+    /proc probe reporting ~zero non-ours work it must NOT flag, and
+    conversely measured external work must flag even when every
+    loadavg sample looks calm."""
+    own_duty_cycle = [0.79, 2.86, 7.93, 6.24, 4.85]  # r19 false positive
+    assert bench.load_flag(own_duty_cycle, CPUS, ext_cores=0.02) is False
+    calm_trace = [0.1, 1.0, 1.2, 1.1, 0.9]
+    assert bench.load_flag(
+        calm_trace, CPUS, ext_cores=0.06 * CPUS
+    ) is True
+    # without the probe, the r16 heuristic still governs
+    assert bench.load_flag(own_duty_cycle, CPUS, ext_cores=None) is True
+
+
+def test_external_cpu_cores_arithmetic():
+    hz = 100
+    import os
+    real = os.sysconf("SC_CLK_TCK")
+    # 10s window, system busy 4000 jiffies, ours 3000 -> 1000 external
+    # jiffies = 1 core at hz=100 (scale expectation by the real hz)
+    got = bench.external_cpu_cores((10_000, 8_000, 0.0),
+                                   (14_000, 11_000, 10.0))
+    assert got == round(1000 / real / 10.0, 3)
+    assert bench.external_cpu_cores(None, (1, 1, 1.0)) is None
+    # ours > system delta (sampling race) clamps at zero
+    assert bench.external_cpu_cores((0, 0, 0.0), (100, 200, 1.0)) == 0.0
