@@ -46,6 +46,11 @@ def _stamps_path() -> str:
 _CORE_FILES = (
     "etl_xlsx_potgres_spark/session.py",
     "etl_xlsx_potgres_spark/registry.py",
+    # r19: the remaining package-root modules — neither can flip query
+    # RESULTS (persist and broadcast are hints), but "coarse on
+    # purpose" means the ledger should not have to argue that
+    "etl_xlsx_potgres_spark/caching.py",
+    "etl_xlsx_potgres_spark/hints.py",
 )
 _CORE_PACKAGES = (
     "etl_xlsx_potgres_spark/operators",
