@@ -83,10 +83,18 @@ def _run_pair(spark, degen_sf: str, name: str):
     "name,id_cols",
     [
         ("ann_cosine_topk", ["qid", "vec_id"]),
+        ("ann_lsh_topk", ["qid", "vec_id"]),
         ("ann_ivf_topk", ["qid", "vec_id"]),
+        ("ann_recall_eval", ["qid"]),
+        ("ann_pq_adc_rerank", ["qid", "vec_id"]),
+        ("ann_pq_trained", ["qid", "vec_id"]),
+        ("ann_ivfpq_search", ["qid", "vec_id"]),
+        ("emb_pq_encode", ["vec_id"]),
         ("dedup_embedding_neardup", ["v1", "v2"]),
+        ("dedup_embedding_lsh", ["v1", "v2"]),
         ("dedup_incremental_semantic", ["vec_id"]),
         ("ann_incremental_ivf", ["vec_id", "neighbor_id"]),
+        ("ann_incremental_ivfpq", ["vec_id", "neighbor_id"]),
         ("dedup_semantic_clusters", ["cluster_id"]),
     ],
 )
