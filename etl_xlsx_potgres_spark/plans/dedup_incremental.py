@@ -178,6 +178,39 @@ def _provision_store(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
+def append_to_store(name: str, frame: DataFrame) -> None:
+    """APPEND an accepted batch's rows to an existing bucketed store
+    WITHOUT rewriting history — the lifecycle step the module
+    docstring's point 3 promises, now code: a spec-compatible bucketed
+    append shuffles ONLY the batch into the store's bucketing and
+    writes per-bucket files next to the existing ones.  The bucketed
+    scan and its Exchange-free probe guarantee survive (each bucket
+    simply reads one more file; within-bucket sort becomes per-file,
+    which costs a local Sort in a merge join but never an Exchange —
+    asserted in ``tests/test_r19_properties.py``).  At 100 TB of
+    history and a 0.1% daily batch this is the write-side twin of the
+    probe-side promise: history bytes are written once, ever."""
+    (
+        frame.write.mode("append")
+        .bucketBy(N_BUCKETS, _bucket_col_of(name))
+        .sortBy(_bucket_col_of(name))
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def _bucket_col_of(name: str) -> str:
+    """The store's bucket column from the catalog (appends must match
+    the existing spec exactly or Spark rejects the write)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+        if row.col_name == "Bucket Columns":
+            return row.data_type.strip("[]` ")
+    raise ValueError(f"{name} is not a bucketed table")
+
+
 @register("dedup_incremental_newbatch", oracle=_ORACLE)
 def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _provision_store(spark, sf_dir)

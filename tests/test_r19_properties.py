@@ -425,3 +425,86 @@ def test_calibration_exact_tier_is_capped_at_10x_pairs(spark, tmp_path):
     out = pdf[pdf.verify_mode == "sampled_out"]
     assert len(out) == n_unbounded - n_exact
     assert out.inter.isna().all() and out.screen.isna().all()
+
+
+# ------------------------------------- store append lifecycle
+
+def test_band_store_append_equals_one_shot_build(spark, sf_dir):
+    """The store lifecycle's write side: building the band store from
+    half the history and APPENDING the other half must yield verdicts
+    bit-identical to the one-shot store, with the probe still reading
+    history Exchange-free (per-bucket appended files, no rewrite)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from etl_xlsx_potgres_spark.plans import dedup_incremental as di
+    from etl_xlsx_potgres_spark.plans.dedup_fuzzy import _minhash_sig_df
+    from etl_xlsx_potgres_spark.sources import load_table
+
+    one_shot = di._provision_store(spark, sf_dir)
+    want = {
+        (r.doc_id, r.n_hist_candidates, r.keep)
+        for r in registry.QUERIES["dedup_incremental_newbatch"](
+            spark, sf_dir
+        ).collect()
+    }
+
+    # rebuild in two installments: first half written, second APPENDED
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    first = di._bands(_minhash_sig_df(d.filter(F.col("doc_id") % 20 < 10)))
+    second = di._bands(_minhash_sig_df(d.filter(F.col("doc_id") % 20 >= 10)))
+    import os
+
+    name = "band_store_appended_test"
+    path = os.path.join(di._store_root(spark), name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        first.write.mode("overwrite").bucketBy(di.N_BUCKETS, "band")
+        .sortBy("band").option("path", path).format("parquet")
+        .saveAsTable(name)
+    )
+    di.append_to_store(name, second)
+
+    assert (
+        spark.table(name).count() == spark.table(one_shot).count()
+    )
+    newd = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    new_bands = di._bands(_minhash_sig_df(newd))
+    hits = (
+        new_bands.join(
+            spark.table(name).select(
+                F.col("doc_id").alias("hist_doc_id"), "band"
+            ),
+            "band",
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("hist_doc_id").alias("n_hist_candidates"))
+    )
+    n = F.coalesce(F.col("n_hist_candidates"), F.lit(0))
+    got_df = (
+        newd.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select("doc_id", n.alias("n_hist_candidates"),
+                (n == 0).alias("keep"))
+    )
+    got = {(r.doc_id, r.n_hist_candidates, r.keep) for r in got_df.collect()}
+    assert got == want
+
+    # the probe against the appended store stays Exchange-free on the
+    # history side (bucketed scan over per-bucket file PAIRS)
+    from .test_dedup_incremental_more import (
+        _assert_history_branch_exchange_free,
+        _plan_str,
+    )
+
+    j = spark.table(name).hint("merge").join(
+        new_bands.select(F.col("doc_id").alias("new_id"), "band"), "band"
+    )
+    _assert_history_branch_exchange_free(_plan_str(j), name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
