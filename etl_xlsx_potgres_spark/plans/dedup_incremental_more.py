@@ -1124,7 +1124,7 @@ qsubs AS (
 ),
 lut AS (
   SELECT s.qid, s.m, c.k,
-         CAST(floor({_PQ_D2_DUCK.replace("s.sub", "s.sub")} * 1000000)
+         CAST(floor({_PQ_D2_DUCK} * 1000000)
               AS BIGINT) AS lut_micro
   FROM qsubs s JOIN codebook c ON c.m = s.m
 ),
