@@ -53,7 +53,15 @@ def _proc_tree_jiffies() -> int | None:
     """utime+stime(+reaped-children cutime/cstime) jiffies summed over
     this process and every live descendant — the bench's python driver
     plus the Spark JVM it launched.  A descendant that exits mid-run
-    stays accounted: its time folds into a live ancestor's cutime."""
+    stays accounted: its time folds into a live ancestor's cutime.
+
+    Known limits (ADVICE r19): a descendant that gets ORPHANED and
+    reparented to init folds its time into init's cutime, not ours —
+    that work is then misattributed to EXTERNAL load; and the /proc
+    walk races with short-lived processes.  Both inflate ext_cores
+    slightly on a quiet host, so :func:`load_flag` demands a 2x margin
+    over its threshold (or corroboration from the r16 loadavg
+    fallback) before the measured signal alone flags a run."""
     try:
         pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
     except OSError:
@@ -128,12 +136,16 @@ def load_flag(
       count, anything above is contention (r14 rule);
     - MEASURED external CPU (r19): /proc accounting splits the host's
       busy jiffies into ours (this process tree: driver + JVM) and
-      everyone else's; more than 0.05*cpus cores of sustained
-      non-ours work is contention by definition, none of the loadavg
-      guesswork.  When the probe is available it REPLACES the r16
+      everyone else's; sustained non-ours work above 0.05*cpus cores
+      is contention by definition, none of the loadavg guesswork.
+      When the probe is available it REPLACES the r16
       persistent-elevation heuristic, which misread the bench's own
       duty cycle (a FASTER run keeps 1-min loadavg higher between
-      passes — r19's two quiet-host runs flagged in the wrong order);
+      passes — r19's two quiet-host runs flagged in the wrong order).
+      r20 (ADVICE r19): the probe misattributes orphan-reparented
+      descendants and races short-lived processes, so the measured
+      signal ALONE only flags with a 2x margin (> 0.10*cpus); in the
+      0.05-0.10*cpus band it needs the r16 fallback to corroborate;
     - PERSISTENT mid-run elevation (r16) as the fallback where /proc
       is unavailable: at least half the in-run samples above
       0.18*cpus;
@@ -141,17 +153,26 @@ def load_flag(
       above 1.25x the committed anchor's loadavg peak AND at least
       two of the worst-3 anchor ratios above 2x — blowups that track
       load, not code. Requiring two keeps a genuine single-query
-      regression from being mislabeled as load.
+      regression from being mislabeled as load.  r20 (VERDICT r19
+      missing #4): when the probe MEASURED the host quiet (at or
+      under the 0.05*cpus threshold), loadavg elevation can only be
+      the bench's own duty cycle — the exact r19 false-positive class
+      — so a measured-quiet run suppresses the dispersion signal and
+      any ratio blowups stand as code regressions, not load.
     """
     start, rest = loadavg_1m[0], loadavg_1m[1:]
+    fallback_elevated = bool(rest) and 2 * sum(
+        s > 0.18 * cpus for s in rest
+    ) >= len(rest)
+    measured_quiet = ext_cores is not None and ext_cores <= 0.05 * cpus
     if ext_cores is not None:
-        persistent = ext_cores > 0.05 * cpus
+        persistent = ext_cores > 0.10 * cpus or (
+            ext_cores > 0.05 * cpus and fallback_elevated
+        )
     else:
-        persistent = bool(rest) and 2 * sum(
-            s > 0.18 * cpus for s in rest
-        ) >= len(rest)
+        persistent = fallback_elevated
     dispersion = False
-    if ratio_stats and anchor_loadavg:
+    if ratio_stats and anchor_loadavg and not measured_quiet:
         elevated = any(
             s > 1.25 * max(anchor_loadavg) for s in loadavg_1m
         )

@@ -163,11 +163,53 @@ def test_measured_external_cpu_replaces_persistent_heuristic():
     own_duty_cycle = [0.79, 2.86, 7.93, 6.24, 4.85]  # r19 false positive
     assert bench.load_flag(own_duty_cycle, CPUS, ext_cores=0.02) is False
     calm_trace = [0.1, 1.0, 1.2, 1.1, 0.9]
+    # r20 (ADVICE r19): a measurement just over the threshold can be
+    # the probe's own attribution error (orphan reparenting, /proc
+    # races) — alone it needs a 2x margin; in the margin band it
+    # flags only with the r16 fallback corroborating
     assert bench.load_flag(
         calm_trace, CPUS, ext_cores=0.06 * CPUS
+    ) is False
+    assert bench.load_flag(
+        calm_trace, CPUS, ext_cores=0.11 * CPUS
     ) is True
+    assert bench.load_flag(
+        own_duty_cycle, CPUS, ext_cores=0.06 * CPUS
+    ) is True  # fallback-corroborated: elevated trace + measured band
     # without the probe, the r16 heuristic still governs
     assert bench.load_flag(own_duty_cycle, CPUS, ext_cores=None) is True
+
+
+def test_measured_quiet_suppresses_dispersion():
+    """r20 (VERDICT r19 missing #4): the dispersion rule consumed only
+    wall ratios + loadavg — a measured-quiet host whose own duty cycle
+    elevated loadavg could still flag on ratio blowups.  With the
+    probe reporting the host quiet, elevation is OURS by measurement,
+    so dispersion must stay silent (the blowups are then code
+    regressions, reported as ratios, not absorbed into the flag);
+    without the probe the r17 rule still governs."""
+    assert (
+        bench.load_flag(
+            LOADED_R16_DRIVER, CPUS, R16_RATIO_STATS, QUIET_ANCHOR_TRACE,
+            ext_cores=0.02,
+        )
+        is False
+    )
+    # measured EXTERNAL load keeps the dispersion signal armed
+    assert (
+        bench.load_flag(
+            LOADED_R16_DRIVER, CPUS, R16_RATIO_STATS, QUIET_ANCHOR_TRACE,
+            ext_cores=0.11 * CPUS,
+        )
+        is True
+    )
+    # no probe -> unchanged r17 behavior
+    assert (
+        bench.load_flag(
+            LOADED_R16_DRIVER, CPUS, R16_RATIO_STATS, QUIET_ANCHOR_TRACE
+        )
+        is True
+    )
 
 
 def test_external_cpu_cores_arithmetic():
