@@ -158,24 +158,29 @@ _ORACLE = f"""
 
 def _provision_store(spark: SparkSession, sf_dir: str) -> str:
     """History band store as a bucketed+sorted external table
-    (idempotent per SF; catalog entry re-registered per session)."""
+    (idempotent per SF; catalog entry re-registered per session;
+    r20: built once per session — later consumers reuse it via the
+    provision cache, the serve-side posture)."""
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     name = f"dedup_band_store_{sf.replace('.', '_').replace('-', '_')}"
-    path = os.path.join(_store_root(spark), name)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 10 != 0
-    )
-    (
-        _bands(_minhash_sig_df(d))
-        .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "band")
-        .sortBy("band")
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(name)
-    )
-    return name
+
+    def build() -> None:
+        path = os.path.join(_store_root(spark), name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        (
+            _bands(_minhash_sig_df(d))
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, "band")
+            .sortBy("band")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    return cached_table(spark, name, os.path.abspath(sf_dir), build)
 
 
 def append_to_store(name: str, frame: DataFrame) -> None:
@@ -187,28 +192,164 @@ def append_to_store(name: str, frame: DataFrame) -> None:
     scan and its Exchange-free probe guarantee survive (each bucket
     simply reads one more file; within-bucket sort becomes per-file,
     which costs a local Sort in a merge join but never an Exchange —
-    asserted in ``tests/test_r19_properties.py``).  At 100 TB of
-    history and a 0.1% daily batch this is the write-side twin of the
-    probe-side promise: history bytes are written once, ever."""
+    asserted in ``tests/test_r19_properties.py``; ``compact_store``
+    merges the per-bucket files back to single sorted runs).  At
+    100 TB of history and a 0.1% daily batch this is the write-side
+    twin of the probe-side promise: history bytes are written once,
+    ever.  The append spec (bucket count, bucket/sort columns) is
+    parsed from the store's OWN catalog entry in one DESCRIBE pass
+    (ADVICE r19) — a store created with any bucket count or sort spec
+    appends correctly, with no module-constant assumption."""
+    n_buckets, bucket_cols, sort_cols, _ = _bucket_spec_of(name)
     (
         frame.write.mode("append")
-        .bucketBy(N_BUCKETS, _bucket_col_of(name))
-        .sortBy(_bucket_col_of(name))
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
         .format("parquet")
         .saveAsTable(name)
     )
 
 
-def _bucket_col_of(name: str) -> str:
-    """The store's bucket column from the catalog (appends must match
-    the existing spec exactly or Spark rejects the write)."""
+def _parse_cols(spec: str) -> list[str]:
+    """['`a`, `b`]' -> ['a', 'b'] (DESCRIBE's column-list rendering)."""
+    inner = spec.strip().strip("[]")
+    return [c.strip().strip("`") for c in inner.split(",") if c.strip()]
+
+
+def _bucket_spec_of(
+    name: str,
+) -> tuple[int, list[str], list[str], str | None]:
+    """(num buckets, bucket columns, sort columns, location) from ONE
+    ``DESCRIBE TABLE EXTENDED`` pass over the catalog entry — appends
+    and compactions must match the existing spec exactly or Spark
+    rejects the write."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
+    n_buckets, bucket_cols, sort_cols, location = None, None, [], None
     for row in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
-        if row.col_name == "Bucket Columns":
-            return row.data_type.strip("[]` ")
-    raise ValueError(f"{name} is not a bucketed table")
+        if row.col_name == "Num Buckets":
+            n_buckets = int(row.data_type)
+        elif row.col_name == "Bucket Columns":
+            bucket_cols = _parse_cols(row.data_type)
+        elif row.col_name == "Sort Columns":
+            sort_cols = _parse_cols(row.data_type)
+        elif row.col_name == "Location":
+            location = row.data_type
+    if n_buckets is None or not bucket_cols:
+        raise ValueError(f"{name} is not a bucketed table")
+    return n_buckets, bucket_cols, sort_cols, location
+
+
+def compact_store(name: str, rewrite=None) -> str:
+    """Per-bucket file merge for an appended store (VERDICT r19 task
+    5): each append leaves one more file per bucket, which (a) demotes
+    the bucketed scan's reported output ORDERING — Spark only treats a
+    bucketed scan as pre-sorted when every bucket holds exactly one
+    file, so merge joins regain a local per-partition Sort (never an
+    Exchange) — and (b) lets write-time denormalized columns go stale
+    (the semantic store's vrank/cell_n; see
+    ``dedup_incremental_more.compact_semantic_store``).  Compaction
+    restores the one-shot layout WITHOUT a shuffle: the bucketed scan
+    yields one task per bucket (all of the bucket's files), the
+    optional ``rewrite`` hook recomputes rank columns with a window
+    PARTITIONED ON THE BUCKET COLUMN (clustering already satisfied by
+    the scan — a local sort, no Exchange), and the bucketed write
+    re-clusters nothing because each task already holds exactly one
+    bucket — so it emits ONE file per bucket.  The merged store is
+    written to a fresh path and swapped in under the same catalog
+    name; history bytes move once per compaction, never through a
+    shuffle.  At 100 TB this is the classic LSM-style maintenance
+    job: amortized over the appends it absorbs, scheduled off the
+    serving path.
+
+    Note: Spark only LEVERAGES the restored single-run sort order
+    when ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is on
+    (planning-time file listing; off by default since 3.0) — with it,
+    a merge join against a compacted store drops its local Sort
+    entirely (pinned in ``tests/test_r20_properties.py``); without
+    it the merge join keeps a local per-partition Sort over now
+    single-run input, still with no Exchange."""
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    n_buckets, bucket_cols, sort_cols, location = _bucket_spec_of(name)
+    df = spark.table(name)
+    if rewrite is not None:
+        df = rewrite(df)
+    tmp = f"{name}_compacting"
+    new_path = f"{location}_c{uuid.uuid4().hex[:8]}"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    # Without an operator that REQUIRES the bucket distribution, the
+    # auto-bucketed-scan rule demotes the read to a size-split file
+    # scan — tasks then span buckets and the bucketed write splits
+    # each task's rows back out, emitting tasks x buckets files.
+    # Pinning the bucketed scan gives one task per bucket (all of its
+    # files), so the write emits exactly ONE file per bucket and the
+    # whole compaction stays shuffle-free.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*(sort_cols or bucket_cols))
+            .option("path", new_path)
+            .format("parquet")
+            .saveAsTable(tmp)
+        )
+    finally:
+        spark.conf.set(auto_key, prev)
+    spark.sql(f"DROP TABLE {name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {name}")
+    if location and location.startswith("file:"):
+        shutil.rmtree(location[len("file:"):], ignore_errors=True)
+    return name
+
+
+# Session-scoped provision cache (VERDICT r19 task 3 — the build/serve
+# split's serve half): the store provisioners are deterministic per
+# (session, fixture dir), so a query that only READS a store must not
+# pay the build again — within one session the first consumer builds,
+# every later consumer reuses the catalog entry.  This is the
+# incremental stack's premise made operational: at 100 TB the build is
+# a scheduled provisioning job and every serving query is a probe.
+# Keyed on the applicationId (a new session always rebuilds) AND the
+# absolute fixture path (two fixture dirs sharing a basename collide
+# on table NAME — the second build overwrites, and the cache entry
+# follows it).
+_PROVISION_CACHE: dict[tuple[str, str], str] = {}
+
+
+def cached_table(
+    spark: SparkSession, name: str, key: str, build, force: bool = False
+) -> str:
+    """Return table ``name``, building it via ``build()`` (which must
+    create the catalog entry) unless this session already built it
+    from the same ``key`` (the absolute fixture path).  ``force=True``
+    rebuilds unconditionally and refreshes the cache entry — the
+    provision-side queries use it so the BUILD cost they exist to
+    measure is actually paid on every invocation."""
+    app = spark.sparkContext.applicationId
+    if (
+        not force
+        and _PROVISION_CACHE.get((app, name)) == key
+        and spark.catalog.tableExists(name)
+    ):
+        return name
+    build()
+    _PROVISION_CACHE[(app, name)] = key
+    return name
+
+
+def invalidate_cached_table(spark: SparkSession, name: str) -> None:
+    """Drop a provision-cache entry (lifecycle tests that APPEND to a
+    shared-name store must not leak the mutated store to later cached
+    reads)."""
+    _PROVISION_CACHE.pop((spark.sparkContext.applicationId, name), None)
 
 
 @register("dedup_incremental_newbatch", oracle=_ORACLE)

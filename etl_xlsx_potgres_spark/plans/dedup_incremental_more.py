@@ -72,7 +72,13 @@ from ..operators.text import fingerprint, shingles_long
 from ..registry import register
 from ..sources import load_table
 from .dedup_fuzzy import _DUCK_SHINGLES, _NORM
-from .dedup_incremental import N_BUCKETS, _store_root
+from .dedup_incremental import (
+    N_BUCKETS,
+    append_to_store,
+    cached_table,
+    compact_store,
+    _store_root,
+)
 from .importance_sampling import _duck_hex6
 from .similarity import _dot, _duck_cos, _norm, duck_valid, valid_vecs
 
@@ -99,23 +105,31 @@ SEM_VERIFY_CAP = 4 * SEM_CELL_SIZE
 
 def _provision(
     spark: SparkSession, sf_dir: str, kind: str, frame: DataFrame,
-    bucket_col: str,
+    bucket_col: str, force: bool = False,
 ) -> str:
     """History frame as a bucketed+sorted external table (idempotent
-    per SF; catalog entry re-registered per session)."""
+    per SF; catalog entry re-registered per session).  r20 (VERDICT
+    r19 task 3): built ONCE per session via the provision cache —
+    serving queries pay the probe, never the rebuild; ``force=True``
+    is for the provision-side queries whose job IS the build."""
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     name = f"{kind}_store_{sf.replace('.', '_').replace('-', '_')}"
-    path = os.path.join(_store_root(spark), name)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (
-        frame.write.mode("overwrite")
-        .bucketBy(N_BUCKETS, bucket_col)
-        .sortBy(bucket_col)
-        .option("path", path)
-        .format("parquet")
-        .saveAsTable(name)
+
+    def build() -> None:
+        path = os.path.join(_store_root(spark), name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            frame.write.mode("overwrite")
+            .bucketBy(N_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+
+    return cached_table(
+        spark, name, os.path.abspath(sf_dir), build, force=force
     )
-    return name
 
 
 # --- SimHash ---------------------------------------------------------
@@ -544,6 +558,19 @@ HEX6 = 16 ** 6  # the md5-coin space: first 6 hex digits as an integer
 
 _SEM_DUCK_COIN = _duck_hex6("md5(CAST(vec_id AS VARCHAR))")
 
+
+def _coin_expr(col: str = "vec_id"):
+    """The family's md5 coin as ONE Spark expression (ADVICE r19):
+    first 6 md5 hex digits of the id as an integer, uniform in
+    [0, HEX6).  Shared by centroid seeding (:func:`_sem_cents`), the
+    store's write-time verify rank (:func:`_provision_semantic_store`)
+    and its append-side continuation — the Spark twin of the oracle's
+    ``_SEM_DUCK_COIN``; one definition, so the store rank and the
+    oracle's replay can never silently diverge."""
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+
 # the shared seeding/assignment/probe CTE chain (composed by BOTH the
 # semantic-dedup oracle and the ann_incremental_ivf oracle below —
 # one geometry, one place, the dedup_fuzzy._BANDS_SQL discipline)
@@ -666,15 +693,16 @@ def _sem_cents(hist: DataFrame) -> DataFrame:
     the cell set is never empty.  Mirrors SemDeDup's K scaling
     (production seeds come from sampled k-means); the oracle replays
     the identical integer coin arithmetic."""
-    coin = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
-    ).cast("long")
-    coined = hist.select("vec_id", "embedding", coin.alias("coin"))
+    from ..hints import constant_size
+
+    coined = hist.select("vec_id", "embedding", _coin_expr().alias("coin"))
+    # 1-row scalar aggregate (count + min coin) broadcast back —
+    # constant-size by construction at any history volume
     stats = coined.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("coin").alias("mincoin"),
     )
-    seeded = coined.crossJoin(F.broadcast(stats)).withColumn(
+    seeded = coined.crossJoin(constant_size(stats)).withColumn(
         "cs",
         F.expr(
             f"CAST(ceil(sqrt(greatest(n DIV {SEM_CELL_SIZE},"
@@ -880,40 +908,140 @@ def _sem_probe(
     return _topn_cos(cand, "embedding", "cv", "cid", "cid", SEM_N_PROBE)
 
 
-def _provision_semantic_store(spark: SparkSession, sf_dir: str) -> str:
-    """The bucketed cell store, with the verify-cap rank DENORMALIZED
-    at write time (r19): ``vrank`` orders each cell's members by their
-    md5 coin (a uniform deterministic sample order — the seeding
-    coin's third use), ``cell_n`` carries the cell's true occupancy.
-    Consumers that must bound their per-cell work filter
-    ``vrank <= SEM_VERIFY_CAP`` as a pure SCAN predicate — zero
-    probe-time window/shuffle; the one cid-partitioned window here
-    rides the write-side shuffle the store already pays once."""
+def _semantic_rank(assign: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cid) -> + (vrank, cell_n): the store's
+    write-time denormalizations — ``vrank`` orders each cell's members
+    by their md5 coin (the shared :func:`_coin_expr`), ``cell_n``
+    carries the cell's true occupancy.  Factored out of the one-shot
+    provisioner so the append-side COMPACTION recomputes exactly the
+    same columns (bit-identity between a compacted appended store and
+    a one-shot build is this shared definition)."""
     from pyspark.sql import Window
 
-    hist = valid_vecs(load_table(spark, sf_dir, "embeddings")).filter(
-        F.col("vec_id") % 10 != 0
-    ).select("vec_id", "embedding")
-    cents = _sem_cents(hist)
-    assign = _sem_assign(spark, sf_dir, hist, cents)
-    coin = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6), 16, 10
-    ).cast("long")
     cell = Window.partitionBy("cid")
-    ranked = (
-        assign.withColumn("coin", coin)
+    return (
+        assign.withColumn("coin", _coin_expr())
         .withColumn(
             "vrank", F.row_number().over(cell.orderBy("coin", "vec_id"))
         )
         .withColumn("cell_n", F.count(F.lit(1)).over(cell).cast("long"))
         .drop("coin")
     )
-    return _provision(spark, sf_dir, "semantic_cell", ranked, "cid")
+
+
+def _provision_semantic_store(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """The bucketed cell store, with the verify-cap rank DENORMALIZED
+    at write time (r19): consumers that must bound their per-cell work
+    filter ``vrank <= SEM_VERIFY_CAP`` as a pure SCAN predicate — zero
+    probe-time window/shuffle; the one cid-partitioned window here
+    rides the write-side shuffle the store already pays once.  r20:
+    built once per session (provision cache) — the serving queries
+    below pay the probe only; ``ann_ivfpq_provision`` forces the
+    rebuild so the build cost stays measured."""
+    hist = valid_vecs(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % 10 != 0
+    ).select("vec_id", "embedding")
+    cents = _sem_cents(hist)
+    assign = _sem_assign(spark, sf_dir, hist, cents)
+    return _provision(
+        spark, sf_dir, "semantic_cell", _semantic_rank(assign), "cid",
+        force=force,
+    )
+
+
+def append_to_semantic_store(
+    spark: SparkSession, name: str, batch: DataFrame
+) -> None:
+    """APPEND an accepted batch's assigned vectors ``(vec_id,
+    embedding, cid)`` to the semantic cell store with RANK MAINTENANCE
+    (VERDICT r19 task 1): the r19d verify cap READS the write-time
+    denormalizations, and a spec-only append would let them go stale —
+    silently un-bounding the verify volume the cap exists to bound.
+
+    - ``vrank`` CONTINUES after the resident per-cell max: appended
+      rows rank (coin, vec_id) within their installment, offset by the
+      cell's resident maximum — ranks stay dense and unique per cell,
+      so ``vrank <= SEM_VERIFY_CAP`` still selects exactly
+      ``min(cell_n, SEM_VERIFY_CAP)`` members per cell at ANY
+      occupancy skew.  Until compaction the cap's verify set is the
+      arrival-TIERED coin sample (residents' coin order first, then
+      each appended installment's) rather than the one-shot global
+      coin order — a uniform sample either way.
+    - ``cell_n`` is RE-SUMMED onto the appended rows (resident max +
+      installment count); consumers take ``MAX(cell_n)`` per cell, so
+      the freshest installment's total wins.  A cell the append never
+      touches keeps its build-time count — exact again after
+      :func:`compact_semantic_store`.
+
+    The resident (max rank, occupancy) aggregate is a groupBy on the
+    store's OWN bucket column — satisfied by the bucketed scan, no
+    Exchange; only the batch shuffles (into the rank window, then into
+    the store's bucketing — the ``append_to_store`` discipline).
+    Exact one-shot invariants (global coin rank, uniform true
+    ``cell_n`` on every row) are restored by the per-bucket re-rank
+    compaction; ``tests/test_r20_properties.py`` pins
+    half-write + half-append + compact == one-shot bit-identically,
+    and the probe off that store against the UNCHANGED DuckDB oracle."""
+    from pyspark.sql import Window
+
+    resident = spark.table(name).groupBy("cid").agg(
+        F.max("vrank").alias("base_rank"),
+        F.max("cell_n").alias("base_n"),
+    )
+    cell = Window.partitionBy("cid")
+    ranked = (
+        batch.withColumn("coin", _coin_expr())
+        .withColumn(
+            "arank", F.row_number().over(cell.orderBy("coin", "vec_id"))
+        )
+        .withColumn("acount", F.count(F.lit(1)).over(cell).cast("long"))
+        .join(resident, "cid", "left")
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (F.coalesce(F.col("base_rank"), F.lit(0)) + F.col("arank"))
+            .alias("vrank"),
+            (F.coalesce(F.col("base_n"), F.lit(0)) + F.col("acount"))
+            .alias("cell_n"),
+        )
+    )
+    append_to_store(name, ranked)
+
+
+def compact_semantic_store(spark: SparkSession, name: str) -> str:
+    """Per-bucket re-rank compaction of the semantic cell store: the
+    generic per-bucket file merge (``compact_store`` — one task per
+    bucket, no shuffle) with the store's OWN rank definition
+    (:func:`_semantic_rank`) recomputed over the merged cells.  The
+    cid window's clustering is satisfied by the bucketed scan (local
+    sort, no Exchange), so the rewrite restores the exact one-shot
+    invariants — global (coin, vec_id) rank and uniform true
+    ``cell_n`` on EVERY row, including cells the appends never touched
+    — while history bytes move once and never through a shuffle."""
+    return compact_store(
+        name,
+        rewrite=lambda df: _semantic_rank(
+            df.select("vec_id", "embedding", "cid")
+        ),
+    )
 
 
 @register("dedup_incremental_semantic", oracle=_SEM_ORACLE)
 def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _provision_semantic_store(spark, sf_dir)
+    return _sem_probe_verdict(spark, sf_dir, store)
+
+
+def _sem_probe_verdict(
+    spark: SparkSession, sf_dir: str, store: str
+) -> DataFrame:
+    """The serve-side probe against a named cell store — factored out
+    of the registered query so the append lifecycle test probes the
+    half-written + half-appended + compacted store through the exact
+    code path the driver verifies."""
     # the verify arm reads AT MOST SEM_VERIFY_CAP coin-ranked members
     # per cell — a scan filter on the store's denormalized rank, so
     # the exact-cosine volume stays bounded under any occupancy skew;
@@ -1197,8 +1325,34 @@ def _subvectors_with_cid(frame: DataFrame) -> DataFrame:
     )
 
 
+def _pq_encode(
+    subs: DataFrame, cb: DataFrame, keys: tuple = ("vec_id", "cid", "m")
+) -> DataFrame:
+    """(…keys…, sub) x codebook -> (…keys…, k): the encode argmin as a
+    map-side min(struct(d2, k)) — identical ranking to the oracle's
+    ORDER BY d2, k window.  Shared by the one-shot build, the append
+    path (so appended vectors are encoded by exactly the build-time
+    rule, against the EXISTING codebook — the IVF-PQ append
+    discipline; retraining is the drift trigger's job) and the
+    provision query's batch-histogram encode (keys without cid)."""
+    from ..hints import constant_size
+
+    return (
+        subs.join(constant_size(cb), "m")
+        .select(
+            *keys,
+            F.struct(F.expr(_PQ_D2_SPARK).alias("d"), F.col("k").alias("k"))
+            .alias("dk"),
+        )
+        .groupBy(*keys)
+        .agg(F.min("dk").alias("mk"))
+        .select(*keys, F.col("mk.k").alias("k"))
+    )
+
+
 def _provision_semantic_pq(
-    spark: SparkSession, sf_dir: str, raw_store: str | None = None
+    spark: SparkSession, sf_dir: str, raw_store: str | None = None,
+    force: bool = False,
 ) -> tuple[str, str]:
     """(code store, codebook table): train the PQ codebook on the
     HISTORY-ONLY raw-vector store, encode every stored vector, and
@@ -1206,37 +1360,53 @@ def _provision_semantic_pq(
     is persisted as its own tiny table — it is part of the index
     artifact, and query time must read it, never retrain.  Pass
     ``raw_store`` when the caller already provisioned the raw-vector
-    store (one assignment pass, not two)."""
-    from ..hints import constant_size
+    store (one assignment pass, not two).  r20: both artifacts go
+    through the provision cache — serving reads them; ``force=True``
+    (the ``ann_ivfpq_provision`` build query) retrains and re-encodes
+    unconditionally."""
     from .pq_trained import _train
 
     store = raw_store or _provision_semantic_store(spark, sf_dir)
-    base = spark.table(store).select("vec_id", "cid", "embedding")
-    hsubs = _subvectors_with_cid(base)
-    cb = _train(hsubs.select("vec_id", "m", "sub"))
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     cb_name = f"semantic_pqcb_{sf.replace('.', '_').replace('-', '_')}"
-    cb_path = os.path.join(_store_root(spark), cb_name)
-    spark.sql(f"DROP TABLE IF EXISTS {cb_name}")
-    (
-        cb.write.mode("overwrite").option("path", cb_path)
-        .format("parquet").saveAsTable(cb_name)
-    )
-    # encode: argmin over the codebook as a map-side min(struct(d2, k))
-    # — identical ranking to the oracle's ORDER BY d2, k window
-    codes = (
-        hsubs.join(constant_size(spark.table(cb_name)), "m")
-        .select(
-            "vec_id", "cid", "m",
-            F.struct(F.expr(_PQ_D2_SPARK).alias("d"), F.col("k").alias("k"))
-            .alias("dk"),
+
+    def build_cb() -> None:
+        base = spark.table(store).select("vec_id", "cid", "embedding")
+        hsubs = _subvectors_with_cid(base)
+        cb = _train(hsubs.select("vec_id", "m", "sub"))
+        cb_path = os.path.join(_store_root(spark), cb_name)
+        spark.sql(f"DROP TABLE IF EXISTS {cb_name}")
+        (
+            cb.write.mode("overwrite").option("path", cb_path)
+            .format("parquet").saveAsTable(cb_name)
         )
-        .groupBy("vec_id", "cid", "m")
-        .agg(F.min("dk").alias("mk"))
-        .select("vec_id", "cid", "m", F.col("mk.k").alias("k"))
+
+    cached_table(
+        spark, cb_name, os.path.abspath(sf_dir), build_cb, force=force
     )
-    code_store = _provision(spark, sf_dir, "semantic_pqcode", codes, "cid")
+    base = spark.table(store).select("vec_id", "cid", "embedding")
+    codes = _pq_encode(_subvectors_with_cid(base), spark.table(cb_name))
+    code_store = _provision(
+        spark, sf_dir, "semantic_pqcode", codes, "cid", force=force
+    )
     return code_store, cb_name
+
+
+def append_to_semantic_pq(
+    spark: SparkSession, code_store: str, cb_name: str, batch: DataFrame
+) -> None:
+    """APPEND an accepted batch's PQ codes: encode the assigned
+    vectors ``(vec_id, embedding, cid)`` against the EXISTING codebook
+    (never retrain inside an append — codebook refresh is a scheduled
+    re-provision, triggered by the ``ann_ivfpq_provision`` drift
+    metric) and append per-bucket on the shared cell geometry.  Codes
+    carry no write-time denormalization, so — unlike the raw cell
+    store — an appended code store is BIT-IDENTICAL in content to a
+    one-shot encode of the union (pinned in
+    ``tests/test_r20_properties.py``); compaction is only the file
+    merge that restores single sorted runs."""
+    codes = _pq_encode(_subvectors_with_cid(batch), spark.table(cb_name))
+    append_to_store(code_store, codes)
 
 
 @register("ann_incremental_ivfpq", oracle=_ivfpq_oracle())
@@ -1244,7 +1414,17 @@ def ann_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{ANN_TOP_K} neighbors per new-batch vector off the
     COMPRESSED cell store: probe -> ADC over probed buckets' codes ->
     exact re-rank of the {IVFPQ_SHORTLIST}-deep shortlist -> overlap
-    with the full-precision probed top-k as ``n_hits_fullprec``."""
+    with the full-precision probed top-k as ``n_hits_fullprec``.
+
+    r20 (VERDICT r19 task 3 — the build/serve split's serve half):
+    this query is READ-ONLY against the session's provisioned
+    artifacts — the raw cell store, the trained codebook, and the
+    bucketed code store come from the provision cache (built by the
+    first consumer or by ``ann_ivfpq_provision``, the build half), so
+    an invocation pays probe + ADC + re-rank only.  That is the
+    production posture the r19 verdict asked to measure separately:
+    at 100 TB the index build is a scheduled provisioning job and
+    every serving query is two Exchange-free bucket probes."""
     from pyspark.sql import Window
 
     from ..caching import scoped_persist
@@ -1361,4 +1541,248 @@ def ann_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adc_micro",
         "cosine",
         "n_hits_fullprec",
+    )
+
+
+# --- IVF-PQ provision + codebook drift (r20, VERDICT r19 tasks 3/4) ---
+#
+# The build half of the build/serve split: ``ann_incremental_ivfpq``
+# above is read-only against the session's provisioned artifacts, so
+# the amortization claim ("serving probes like the full-precision
+# twin") needs the BUILD measured and attested separately — this query
+# force-rebuilds the whole index (raw cell store -> history-only PQ
+# training -> bucketed code store) and returns the index ARTIFACT
+# STATS as oracle-checked data: per subspace the codebook cardinality
+# and its micro-unit component sum (a bit-exact attestation of the
+# trained centroids — any training leak of new-batch vectors flips
+# it), the code store's row/cell counts, and the training size.
+#
+# Riding the same per-m rows: the CODEBOOK DRIFT metric (task 4) — the
+# classic IVF-PQ re-train trigger.  An appended batch is encoded
+# against the EXISTING codebook (the append discipline,
+# ``append_to_semantic_pq``); if the appended distribution has drifted
+# from training, its code-usage histogram diverges, and reconstruction
+# error silently grows until a re-provision retrains.  The metric is
+# total-variation distance between the history code histogram and an
+# appended batch's, in basis points, computed ENTIRELY in BIGINT
+# (counts and cross-products; one final integer division) so both
+# engines agree bit-exactly — no log/float PSI in the oracle-checked
+# path (a production monitor can layer float PSI on the same
+# histograms as advisory data).  Two batches ship per subspace:
+# ``tv_drift_bp`` for a SEEDED drifted append (the new batch under a
+# deterministic affine shift x -> 0.5x + 0.25 — same corpus, shifted
+# distribution) and ``tv_plain_bp`` for the unshifted new batch — the
+# instrument is non-vacuous by construction (drifted >> plain, pinned
+# in tests) and the pair shows the trigger separates drift from
+# sampling noise.
+#
+# Overflow bound: the cross-products |ch*Nd - cd*Nh| sum to at most
+# 2*Nh*Nd, so the 10^4 scaling stays in BIGINT for Nh*Nd < ~4.6e14
+# (Nh, Nd ~ 2e7 vectors) — far above any test SF.  At 100-TB corpus
+# sizes the same histograms are tiny (M*K rows) but the totals want
+# the division reordered or DECIMAL — a provisioning-job concern, not
+# a serve-path one.
+
+_DRIFT_SHIFT_DUCK = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)"
+    " * CAST(0.5 AS DOUBLE) + CAST(0.25 AS DOUBLE))"
+)
+_DRIFT_SHIFT_SPARK = (
+    "transform(embedding, x -> cast(x as double)"
+    " * CAST(0.5 AS DOUBLE) + CAST(0.25 AS DOUBLE))"
+)
+
+
+def _batch_codes_duck(tag: str, src: str) -> str:
+    """CTEs encoding batch ``src`` (vec_id, embedding) against the
+    trained codebook: {tag}subs -> {tag}codes (argmin d2, k)."""
+    return f"""{tag}subs AS (
+  SELECT v.vec_id, m.m,
+         v.embedding[m.m*{_PQ_SUB_D}+1 : m.m*{_PQ_SUB_D}+{_PQ_SUB_D}]
+           AS sub
+  FROM {src} v, {_GEN_M}
+),
+{tag}codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_D2_DUCK}, c.k) AS rn
+    FROM {tag}subs s JOIN codebook c ON c.m = s.m) WHERE rn = 1
+)"""
+
+
+def _ivfpq_provision_oracle() -> str:
+    from .pq_trained import _trained_codebook_ctes
+
+    return f"""
+WITH {_SEM_CTES},
+subs AS (
+  SELECT a.vec_id, m.m,
+         a.embedding[m.m*{_PQ_SUB_D}+1 : m.m*{_PQ_SUB_D}+{_PQ_SUB_D}]
+           AS sub
+  FROM hassign a, {_GEN_M}
+),
+{_trained_codebook_ctes()},
+hcodes AS (
+  SELECT vec_id, cid, m, k FROM (
+    SELECT s.vec_id, a2.cid, s.m, c.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_D2_DUCK}, c.k) AS rn
+    FROM subs s
+    JOIN codebook c ON c.m = s.m
+    JOIN hassign a2 ON a2.vec_id = s.vec_id) WHERE rn = 1
+),
+drifted AS (
+  SELECT vec_id, {_DRIFT_SHIFT_DUCK} AS embedding FROM nvecs
+),
+{_batch_codes_duck("d", "drifted")},
+{_batch_codes_duck("p", "nvecs")},
+hh AS (SELECT m, k, CAST(COUNT(*) AS BIGINT) AS c FROM hcodes GROUP BY 1, 2),
+hd AS (SELECT m, k, CAST(COUNT(*) AS BIGINT) AS c FROM dcodes GROUP BY 1, 2),
+hp AS (SELECT m, k, CAST(COUNT(*) AS BIGINT) AS c FROM pcodes GROUP BY 1, 2),
+dom AS (SELECT DISTINCT m, k FROM codebook),
+joined AS (
+  SELECT dom.m, dom.k,
+         COALESCE(hh.c, 0) AS ch,
+         COALESCE(hd.c, 0) AS cd,
+         COALESCE(hp.c, 0) AS cp
+  FROM dom
+  LEFT JOIN hh ON hh.m = dom.m AND hh.k = dom.k
+  LEFT JOIN hd ON hd.m = dom.m AND hd.k = dom.k
+  LEFT JOIN hp ON hp.m = dom.m AND hp.k = dom.k
+),
+tots AS (
+  SELECT m, CAST(SUM(ch) AS BIGINT) AS nh,
+         CAST(SUM(cd) AS BIGINT) AS nd,
+         CAST(SUM(cp) AS BIGINT) AS np
+  FROM joined GROUP BY 1
+),
+tv AS (
+  SELECT j.m,
+         CAST(SUM(abs(j.ch * t.nd - j.cd * t.nh)) AS BIGINT) AS sd,
+         CAST(SUM(abs(j.ch * t.np - j.cp * t.nh)) AS BIGINT) AS sp
+  FROM joined j JOIN tots t ON t.m = j.m GROUP BY 1
+),
+cbstats AS (
+  SELECT m, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_centroids,
+         CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+           AS cb_micro
+  FROM (SELECT m, k, unnest(csub) AS x FROM codebook) GROUP BY 1
+),
+codestats AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_codes,
+         CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_cells
+  FROM hcodes GROUP BY 1
+)
+SELECT CAST(cs.m AS BIGINT) AS m, cb.n_centroids, cb.cb_micro,
+       cs.n_codes, cs.n_cells, t.nh AS n_train,
+       (10000 * v.sd) // (2 * t.nh * t.nd) AS tv_drift_bp,
+       (10000 * v.sp) // (2 * t.nh * t.np) AS tv_plain_bp
+FROM codestats cs
+JOIN cbstats cb ON cb.m = cs.m
+JOIN tots t ON t.m = cs.m
+JOIN tv v ON v.m = cs.m
+"""
+
+
+def _batch_code_hist(newv: DataFrame, cb: DataFrame) -> DataFrame:
+    """(m, k, c): code-usage histogram of a batch encoded against the
+    EXISTING codebook — M*K rows however large the batch."""
+    from .pq_search import _subvectors
+
+    codes = _pq_encode(_subvectors(newv), cb, keys=("vec_id", "m"))
+    return codes.groupBy("m", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+@register("ann_ivfpq_provision", oracle=_ivfpq_provision_oracle())
+def ann_ivfpq_provision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force-rebuild the IVF-PQ index (raw cell store, history-only
+    codebook, bucketed code store) and return per-subspace artifact
+    stats + the codebook drift metric — see the section comment."""
+    from ..hints import constant_size
+
+    raw_store = _provision_semantic_store(spark, sf_dir, force=True)
+    code_store, cb_name = _provision_semantic_pq(
+        spark, sf_dir, raw_store, force=True
+    )
+    cb = spark.table(cb_name)
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
+    newv = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    drifted = newv.select(
+        "vec_id", F.expr(_DRIFT_SHIFT_SPARK).alias("embedding")
+    )
+    codes = spark.table(code_store)
+    hh = codes.groupBy("m", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hd = _batch_code_hist(drifted, cb)
+    hp = _batch_code_hist(newv, cb)
+    # all histogram frames are <= M*K = 32 rows by construction —
+    # constant-size at any corpus or batch volume
+    dom = cb.select("m", "k").distinct()
+    joined = (
+        dom
+        .join(constant_size(hh.withColumnRenamed("c", "ch")), ["m", "k"], "left")
+        .join(constant_size(hd.withColumnRenamed("c", "cd")), ["m", "k"], "left")
+        .join(constant_size(hp.withColumnRenamed("c", "cp")), ["m", "k"], "left")
+        .select(
+            "m", "k",
+            F.coalesce("ch", F.lit(0).cast("long")).alias("ch"),
+            F.coalesce("cd", F.lit(0).cast("long")).alias("cd"),
+            F.coalesce("cp", F.lit(0).cast("long")).alias("cp"),
+        )
+    )
+    from ..caching import scoped_persist
+
+    # two consumers (totals + the per-k terms) of a 32-row frame
+    joined = scoped_persist(joined)
+    tots = joined.groupBy("m").agg(
+        F.sum("ch").cast("long").alias("nh"),
+        F.sum("cd").cast("long").alias("nd"),
+        F.sum("cp").cast("long").alias("np"),
+    )
+    tv = (
+        joined.join(constant_size(tots), "m")
+        .groupBy("m")
+        .agg(
+            F.sum(F.abs(F.col("ch") * F.col("nd") - F.col("cd") * F.col("nh")))
+            .cast("long")
+            .alias("sd"),
+            F.sum(F.abs(F.col("ch") * F.col("np") - F.col("cp") * F.col("nh")))
+            .cast("long")
+            .alias("sp"),
+        )
+    )
+    cbstats = (
+        cb.select("m", "k", F.explode("csub").alias("x"))
+        .groupBy("m")
+        .agg(
+            F.countDistinct("k").cast("long").alias("n_centroids"),
+            F.sum(F.expr("CAST(floor(x * 1000000) AS BIGINT)"))
+            .cast("long")
+            .alias("cb_micro"),
+        )
+    )
+    codestats = codes.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_codes"),
+        F.countDistinct("cid").cast("long").alias("n_cells"),
+    )
+    return (
+        codestats.join(constant_size(cbstats), "m")
+        .join(constant_size(tots), "m")
+        .join(constant_size(tv), "m")
+        .select(
+            F.col("m").cast("long").alias("m"),
+            "n_centroids",
+            "cb_micro",
+            "n_codes",
+            "n_cells",
+            F.col("nh").alias("n_train"),
+            F.expr("(10000 * sd) DIV (2 * nh * nd)").alias("tv_drift_bp"),
+            F.expr("(10000 * sp) DIV (2 * nh * np)").alias("tv_plain_bp"),
+        )
     )
