@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..hints import constant_size
 from ..registry import register
 from ..sources import load_table
 from .product_quantization import _D2_DUCK, _D2_SPARK, M, PQ_K, SUB_D
@@ -106,7 +107,7 @@ def _train(
     w = Window.partitionBy("vec_id", "m").orderBy("d2", "k")
     for _ in range(iters):
         assigned = (
-            subs.join(F.broadcast(cb), "m")
+            subs.join(constant_size(cb), "m")
             .select("vec_id", "m", "k", "sub", F.expr(_D2_SPARK).alias("d2"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)

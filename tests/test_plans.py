@@ -234,12 +234,9 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # one row per calendar month —
                                           # grows with time span (~12/yr),
                                           # not with data volume
-        "cb",                             # trained PQ codebook (<= M*K =
-                                          # 32 rows at every Lloyd
-                                          # iteration — the k seed filter
-                                          # bounds it, and recentering
-                                          # can only shrink it;
-                                          # pq_trained)
+        # "cb" (trained PQ codebook, pq_trained) migrated to the
+        # constant_size marker in r20 — the zero-churn rule: the
+        # allowlist shrinks whenever a listed file is touched anyway
         "probes",                         # IVF probe set (<= NQ * N_PROBE
                                           # = 40 rows by the query filter
                                           # and the prn <= N_PROBE window,
@@ -338,6 +335,78 @@ def _broadcast_hints(source: str) -> list[tuple[int, str]]:
         if is_hint:
             hits.append((node.lineno, chain(node.args[0])))
     return hits
+
+
+def _constant_size_hints(source: str) -> list[tuple[int, str]]:
+    """(line, leading-identifier-chain) of every ``constant_size(...)``
+    call — same AST walk as :func:`_broadcast_hints`."""
+    import ast
+
+    def chain(node: ast.AST) -> str:
+        parts: list[str] = []
+        while True:
+            if isinstance(node, ast.Call):
+                node = node.func
+            elif isinstance(node, ast.Attribute):
+                parts.append(node.attr)
+                node = node.value
+            elif isinstance(node, ast.Name):
+                parts.append(node.id)
+                return ".".join(reversed(parts))
+            else:
+                return f"<{type(node).__name__}>"
+
+    hits = []
+    for node in ast.walk(ast.parse(source)):
+        if not (isinstance(node, ast.Call) and node.args):
+            continue
+        fn = node.func
+        is_marker = (isinstance(fn, ast.Name) and fn.id == "constant_size") or (
+            isinstance(fn, ast.Attribute) and fn.attr == "constant_size"
+        )
+        if is_marker:
+            hits.append((node.lineno, chain(node.args[0])))
+    return hits
+
+
+def test_constant_size_call_sites_are_reviewed():
+    """Companion lint to the frozen-allowlist guard (ADVICE r19): the
+    ``constant_size`` marker exempts a hint from the broadcast lint
+    purely by NAME — nothing structural verifies the wrapped frame is
+    actually constant-size, so a data-scaling frame wrapped in the
+    marker would silently dodge the OOM lint.  Every marker call site
+    therefore lives on THIS allowlist with its documented row bound;
+    a new use fails here until it is reviewed and listed."""
+    import pathlib
+
+    allowed = {
+        # (file, hinted-frame chain): documented row bound
+        ("dedup_incremental_more.py", "stats"),
+        #   1-row scalar aggregate (history count + min coin)
+        ("dedup_incremental_more.py", "cb"),
+        #   trained PQ codebook: <= M*K = 32 rows by the seed filter
+        ("dedup_incremental_more.py", "spark.table"),
+        #   the persisted codebook TABLE (same <= M*K bound)
+        ("dedup_incremental_more.py", "hh.withColumnRenamed"),
+        ("dedup_incremental_more.py", "hd.withColumnRenamed"),
+        ("dedup_incremental_more.py", "hp.withColumnRenamed"),
+        #   code-usage histograms: <= M*K rows at ANY corpus/batch size
+        ("dedup_incremental_more.py", "tots"),
+        ("dedup_incremental_more.py", "cbstats"),
+        ("dedup_incremental_more.py", "tv"),
+        #   per-subspace rollups of the above: <= M = 4 rows
+        ("pq_trained.py", "cb"),
+        #   the Lloyd-iteration codebook: <= M*K rows every round
+    }
+    pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
+    offenders = []
+    for path in sorted(pkg.glob("*.py")):
+        offenders += [
+            f"{path.name}:{line}: constant_size({chain}…) not reviewed"
+            for line, chain in _constant_size_hints(path.read_text())
+            if (path.name, chain) not in allowed
+        ]
+    assert not offenders, "\n".join(offenders)
 
 
 def test_constant_size_marker_passes_and_raw_broadcast_is_flagged():
