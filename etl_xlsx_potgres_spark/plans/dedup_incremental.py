@@ -199,7 +199,13 @@ def append_to_store(name: str, frame: DataFrame) -> None:
     ever.  The append spec (bucket count, bucket/sort columns) is
     parsed from the store's OWN catalog entry in one DESCRIBE pass
     (ADVICE r19) — a store created with any bucket count or sort spec
-    appends correctly, with no module-constant assumption."""
+    appends correctly, with no module-constant assumption.  An append
+    also DROPS the table's provision-cache entry: the cache's premise
+    is "content == the deterministic build from this fixture", which
+    a mutation breaks — the next provisioning consumer rebuilds the
+    canonical store instead of silently serving the mutated one."""
+    from pyspark.sql import SparkSession
+
     n_buckets, bucket_cols, sort_cols, _ = _bucket_spec_of(name)
     (
         frame.write.mode("append")
@@ -208,6 +214,7 @@ def append_to_store(name: str, frame: DataFrame) -> None:
         .format("parquet")
         .saveAsTable(name)
     )
+    invalidate_cached_table(SparkSession.getActiveSession(), name)
 
 
 def _parse_cols(spec: str) -> list[str]:

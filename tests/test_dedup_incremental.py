@@ -103,10 +103,10 @@ def test_store_append_absorbs_accepted_batch(spark, sf_dir):
         .count()
     )
     # append the accepted batch's signatures (bucketed append writes
-    # new per-bucket files; history files are untouched)
-    new_bands.write.mode("append").format("parquet").bucketBy(
-        dedup_incremental.N_BUCKETS, "band"
-    ).sortBy("band").saveAsTable(store)
+    # new per-bucket files; history files are untouched) — through the
+    # lifecycle helper, which also drops the store's provision-cache
+    # entry so the trailing re-provision below really rebuilds
+    dedup_incremental.append_to_store(store, new_bands)
     files_after = {
         f.path
         for f in spark.read.format("binaryFile")
