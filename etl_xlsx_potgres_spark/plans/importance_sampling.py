@@ -27,16 +27,19 @@ below 2^53, and overflow-proof at 100 TB where the old bigint
 products (~count x corpus_total) would wrap int64 — the r14 verdict's
 headroom caveat, now the tested path (tests/test_double_lift.py).
 
-Plan shape: ONE tokenize+featurize pass over ``documents`` (grams are
-built as a per-row array — unigrams ``concat`` a ``zip_with`` bigram
-array — so no per-doc window is needed), one shuffle to per-(doc,
-bucket) counts, which single persisted frame feeds the raw model, the
-target model, AND the final weight join. The bucket model (``lp``,
-<= B rows by construction) and the 1-row totals (``tot``) are the
-only broadcasts — both constant-size at any corpus scale; the
-corpus-sized count frame is equi-joined on ``bucket``. The top-k
-variant is a ``TakeOrderedAndProject`` (per-partition heaps + driver
-merge of k), never a global sort.
+Plan shape (r20 rewrite, guide §8 "decide with small rows"): the
+model FIT is the only shuffle — the gram explode feeds a groupBy on
+the B-bounded bucket key, so map-side partials reduce it to <= B rows
+per task at ANY corpus volume. The fitted model then rides as ONE row
+(``map<bucket, lp_micro>``, <= B entries) broadcast to a second,
+map-only pass that scores each document by folding its own row-local
+gram array against the map — no per-(doc, bucket) count frame is ever
+materialized, joined, or rolled up. (The previous shape persisted
+that corpus-scale frame and paid a model join plus a doc_id rollup
+shuffle on it; two scans + a constant-size shuffle beat one scan +
+two corpus-scale shuffles and a corpus-scale cache everywhere past
+toy SF.) The top-k variant is a ``TakeOrderedAndProject``
+(per-partition heaps + driver merge of k), never a global sort.
 
 Reference lifecycle note: the reference has no corpus stage
 (``etl_process.py:1-235``); this extends the driver-mandated
@@ -48,7 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import scoped_persist
+from ..hints import constant_size
 from ..registry import register
 from ..sources import load_table
 
@@ -129,62 +132,126 @@ _ORACLE_WEIGHTS = f"""
 """
 
 
-def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucket_of(gram):
+    """``_SPARK_BUCKET`` as a composable Column (identical arithmetic)
+    — usable on a lambda variable inside row-local HOFs, which is what
+    lets scoring happen without the per-doc explode."""
+    return F.conv(F.substring(F.md5(gram), 1, 6), 16, 10).cast("long") % B
+
+
+def _grams_arr(d: DataFrame, *extra: str) -> DataFrame:
+    """(extra..., grams) with the unigram++bigram array kept row-local
+    (the explode stays confined to the model-fit pass)."""
+    return d.select(*extra, F.expr(_SPARK_TOKS).alias("toks")).select(
+        *extra, F.expr(_SPARK_GRAMS).alias("grams")
+    )
+
+
+def _feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bkts): every document with its grams hashed ONCE
+    into a row-local bucket-id array (``bkts`` is NULL where the token
+    array is NULL, empty where it is empty — the doc grain is
+    preserved). Persisted because the model fit and the scoring fold
+    both consume it; the md5 per gram — the dominant per-row cost — is
+    paid exactly once, and the cached rows are bigint arrays, not
+    text."""
+    from ..caching import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", "lang", F.expr(_SPARK_TOKS).alias("toks")
-    ).select("doc_id", "lang", F.explode(F.expr(_SPARK_GRAMS)).alias("gram"))
-    # one persisted frame feeds raw model + target model + weight join
-    db = scoped_persist(
-        grams.groupBy(
-            "doc_id", "lang", F.expr(_SPARK_BUCKET).alias("bucket")
-        ).agg(F.count(F.lit(1)).alias("c"))
+    return scoped_persist(
+        _grams_arr(d, "doc_id", "lang").select(
+            "doc_id", "lang", F.transform("grams", bucket_of).alias("bkts")
+        )
     )
-    raw = db.groupBy("bucket").agg(F.sum("c").cast("long").alias("rb"))
-    tgt = (
-        db.filter(F.col("lang") == TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.sum("c").cast("long").alias("tb"))
+
+
+def _lpmap(feat: DataFrame) -> DataFrame:
+    """The fitted DSIR bucket model as ONE row carrying a dense B-slot
+    array — constant-size at any corpus volume, so consumers can score
+    documents row-locally against a broadcast instead of shuffling a
+    per-(doc, bucket) count frame into a model join + doc rollup (r20
+    rewrite; the model FIT keeps the explode — of bigint bucket ids,
+    not gram strings — and its groupBy is on the B-bounded bucket key,
+    so map-side partials reduce the shuffle to <= B rows per task)."""
+    grams = feat.select("lang", F.explode("bkts").alias("bucket"))
+    # rb = every occurrence, tb = occurrences in target-lang docs;
+    # identical to the old raw/tgt pair (tb = 0 where tgt had no row,
+    # matching its COALESCE(tb, 0))
+    cls = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("rb"),
+        F.sum(F.when(F.col("lang") == TARGET_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("tb"),
     )
-    tot = db.agg(
-        F.sum("c").cast("long").alias("rtot"),
-        F.sum(
-            F.when(F.col("lang") == TARGET_LANG, F.col("c")).otherwise(0)
+    tot = cls.agg(
+        F.sum("rb").cast("long").alias("rtot"),
+        F.sum("tb").cast("long").alias("ttot"),
+    )
+    lp = cls.crossJoin(constant_size(tot)).select(  # 1-row totals
+        "bucket",
+        F.floor(
+            F.log(
+                (
+                    (F.col("tb") + 1).cast("double")
+                    * (F.col("rtot") + B).cast("double")
+                )
+                / (
+                    (F.col("rb") + 1).cast("double")
+                    * (F.col("ttot") + B).cast("double")
+                )
+            )
+            * 1000000
         )
         .cast("long")
-        .alias("ttot"),
+        .alias("lp_micro"),
     )
-    lp = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))  # 1-row totals
-        .select(
-            "bucket",
-            F.floor(
-                F.log(
-                    (
-                        (F.coalesce(F.col("tb"), F.lit(0)) + 1).cast("double")
-                        * (F.col("rtot") + B).cast("double")
-                    )
-                    / (
-                        (F.col("rb") + 1).cast("double")
-                        * (F.col("ttot") + B).cast("double")
-                    )
-                )
-                * 1000000
-            )
-            .cast("long")
-            .alias("lp_micro"),
-        )
+    return _dense_model_arr(lp, "lp_micro", "lparr")
+
+
+def _dense_model_arr(model: DataFrame, val: str, out: str) -> DataFrame:
+    """Pack a (bucket, value) model into ONE row carrying a dense
+    B-slot array (index = bucket). Lookups against a map literal cost
+    a LINEAR scan of its entries per call (UnsafeMapData has no hash
+    index), so a per-gram fold over a 256-entry map pays 256
+    comparisons per gram; the dense array is one O(1) index. Buckets
+    the corpus never produced stay NULL — and are never looked up,
+    because scoring only probes buckets of grams the fit also saw."""
+    return model.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", val))).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(B - 1).cast("long")),
+            lambda b: F.try_element_at(F.col("m"), b),
+        ).alias(out)
     )
-    return (
-        db.join(F.broadcast(lp), "bucket")  # lp <= B rows at ANY scale
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lp_micro"))
-            .cast("long")
-            .alias("logw_micro"),
-        )
+
+
+def _arr_at(arr, bucket):
+    """O(1) dense-array model lookup (1-based element_at)."""
+    return F.element_at(arr, (bucket + 1).cast("int"))
+
+
+def _weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scoring is row-local (guide §8's "decide with small rows"): each
+    # doc folds its own bucket-id array against the broadcast model
+    # array — n_grams is the array size, logw the bigint sum of
+    # per-occurrence lp_micro lookups (same integers the old
+    # c * lp_micro join-rollup summed, grouped differently). Every
+    # bucket a doc probes is in the model by construction (the fit
+    # saw the same corpus). This replaces the corpus-scale persisted
+    # (doc, bucket) count frame, its model join, and the doc_id
+    # rollup shuffle with a fold over the shared featurize frame;
+    # only the <= B-row model fit shuffles.
+    feat = _feat(spark, sf_dir)
+    docs = feat.filter(F.size("bkts") > 0)
+    return docs.crossJoin(constant_size(_lpmap(feat))).select(
+        "doc_id",
+        F.size("bkts").cast("long").alias("n_grams"),
+        F.aggregate(
+            "bkts",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + _arr_at(F.col("lparr"), b),
+        ).alias("logw_micro"),
     )
 
 

@@ -49,18 +49,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caching import scoped_persist
+from ..hints import constant_size
 from ..registry import register
-from ..sources import load_table
 from .importance_sampling import (
     B,
     TARGET_LANG,
     _DUCK_BUCKET,
     _DUCK_GRAMS,
     _DUCK_TOKS,
-    _SPARK_BUCKET,
-    _SPARK_GRAMS,
-    _SPARK_TOKS,
+    _arr_at,
+    _dense_model_arr,
+    _feat,
 )
 
 _ORACLE_SCORES = f"""
@@ -125,44 +124,25 @@ _ORACLE_SCORES = f"""
 """
 
 
-def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", "lang", F.expr(_SPARK_TOKS).alias("toks")
-    ).select("doc_id", "lang", F.explode(F.expr(_SPARK_GRAMS)).alias("gram"))
+def _lomap(feat: DataFrame) -> DataFrame:
+    """The fitted NB bucket model as ONE row carrying a dense B-slot
+    array — constant-size at any corpus volume (the DSIR ``_lpmap``
+    shape; r20 rewrite)."""
+    grams = feat.select("lang", F.explode("bkts").alias("bucket"))
     is_pos = F.col("lang") == TARGET_LANG
-    # one persisted frame feeds the model fit AND the scoring join
-    db = scoped_persist(
-        grams.groupBy(
-            "doc_id", "lang", F.expr(_SPARK_BUCKET).alias("bucket")
-        ).agg(F.count(F.lit(1)).alias("c"))
-    )
-    cls = db.groupBy("bucket").agg(
-        F.sum(F.when(is_pos, F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("pb"),
-        F.sum(F.when(~is_pos, F.col("c")).otherwise(0))
-        .cast("long")
-        .alias("nb"),
+    # pb/nb = gram occurrences in positive/negative docs per bucket;
+    # identical to the old per-(doc, bucket) count frame summed by
+    # class, with the doc grain skipped (the map-side partials reduce
+    # straight to <= B rows per task)
+    cls = grams.groupBy("bucket").agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).cast("long").alias("pb"),
+        F.sum(F.when(~is_pos, 1).otherwise(0)).cast("long").alias("nb"),
     )
     tot = cls.agg(
         F.sum("pb").cast("long").alias("ptot"),
         F.sum("nb").cast("long").alias("ntot"),
     )
-    prior = d.agg(
-        F.floor(
-            F.log(
-                (
-                    F.sum(F.when(is_pos, 1).otherwise(0)) + 1
-                ).cast("double")
-                / (F.sum(F.when(~is_pos, 1).otherwise(0)) + 1).cast("double")
-            )
-            * 1000000
-        )
-        .cast("long")
-        .alias("prior_micro")
-    )
-    lo = cls.crossJoin(F.broadcast(tot)).select(  # 1-row totals
+    lo = cls.crossJoin(constant_size(tot)).select(  # 1-row totals
         "bucket",
         F.floor(
             F.log(
@@ -180,25 +160,59 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lo_micro"),
     )
-    docsum = (
-        db.join(F.broadcast(lo), "bucket")  # lo <= B rows at ANY scale
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            F.sum(F.col("c") * F.col("lo_micro"))
-            .cast("long")
-            .alias("gram_micro"),
+    return _dense_model_arr(lo, "lo_micro", "loarr")
+
+
+def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Row-local scoring against the broadcast model array (guide §8 —
+    # the DSIR ``_weights`` rewrite, same rationale): each document
+    # folds its own bucket-id array; the bigint per-occurrence
+    # lo_micro sum equals the old c * lo_micro join-rollup exactly.
+    # Docs with no grams (empty or NULL token array) keep n_grams 0
+    # and score prior_micro — the old LEFT JOIN semantics, now a
+    # coalesce. Every bucket a doc probes is in the model by
+    # construction (the fit saw the same corpus). No corpus-scale
+    # shuffle remains: the model fit shuffles <= B-row partials,
+    # scoring folds the shared featurize frame map-side. The prior
+    # (per-doc lang counts) also reads that frame — the doc grain is
+    # preserved there, so no second corpus scan.
+    feat = _feat(spark, sf_dir)
+    is_pos = F.col("lang") == TARGET_LANG
+    prior = feat.agg(
+        F.floor(
+            F.log(
+                (
+                    F.sum(F.when(is_pos, 1).otherwise(0)) + 1
+                ).cast("double")
+                / (F.sum(F.when(~is_pos, 1).otherwise(0)) + 1).cast("double")
+            )
+            * 1000000
         )
+        .cast("long")
+        .alias("prior_micro")
     )
-    score = F.col("prior_micro") + F.coalesce(F.col("gram_micro"), F.lit(0))
+    gram_micro = F.coalesce(
+        F.aggregate(
+            "bkts",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + _arr_at(F.col("loarr"), b),
+        ),
+        F.lit(0).cast("long"),
+    )
+    score = F.col("prior_micro") + gram_micro
     return (
-        d.select("doc_id", "lang")
-        .join(docsum, "doc_id", "left")
-        .crossJoin(F.broadcast(prior))  # 1-row prior
+        feat.crossJoin(constant_size(_lomap(feat)))
+        .crossJoin(constant_size(prior))  # 1-row prior
         .select(
             "doc_id",
             "lang",
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            # explicit NULL branch: size(NULL) is -1 under legacy
+            # sizeOfNull and NULL under ANSI — neither is the 0 the
+            # old LEFT JOIN coalesced to
+            F.when(F.col("bkts").isNull(), F.lit(0))
+            .otherwise(F.size("bkts"))
+            .cast("long")
+            .alias("n_grams"),
             score.alias("score_micro"),
             (score > 0).alias("predicted_pos"),
         )

@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-parallelism FLOOR (r20, guide §6): map-only passes have
+        # no shuffle to spread them, so their width is the file split
+        # count — a small input (one row group) runs row-local scoring
+        # on 1-2 cores while the rest idle. The floor is derived from
+        # the core count (scale-adaptive, like shuffle width above)
+        # and is a no-op at cluster scale where splits >> cores.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
@@ -86,4 +93,8 @@ def tune_for_oracle(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(default_parallelism()))
+    # scan-parallelism floor for map-only passes (see get_spark)
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum", str(default_parallelism())
+    )
     return spark

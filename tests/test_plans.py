@@ -191,12 +191,12 @@ def test_no_hardcoded_broadcast_of_scaling_frames():
                                           # (bigram LM smoothing denominator)
         "cells",                          # count-min grid (<= D*W = 192 cells
                                           # by construction, data-size-free)
-        "lp",                             # DSIR bucket model (<= B = 256
-                                          # rows by the bucket modulus —
-                                          # constant at any corpus size)
-        "lo",                             # NB log-odds model (same <= B-row
-                                          # bucket bound, quality_classifier)
-        "tot",                            # 1-row DSIR/NB corpus totals
+        # "lp" (DSIR bucket model) and "lo" (NB log-odds model)
+        # migrated to the constant_size marker in r20 — the r20
+        # row-local scoring rewrite folds them into 1-row model maps
+        # (the zero-churn shrink rule: touched files migrate)
+        "tot",                            # 1-row corpus totals (corpus_mix,
+                                          # lang_confusion, tokenizer_fertility)
         "src",                            # per-SOURCE mix frame (one row
                                           # per distinct source — grows
                                           # with catalog breadth, a
@@ -397,6 +397,16 @@ def test_constant_size_call_sites_are_reviewed():
         #   per-subspace rollups of the above: <= M = 4 rows
         ("pq_trained.py", "cb"),
         #   the Lloyd-iteration codebook: <= M*K rows every round
+        ("importance_sampling.py", "tot"),
+        ("quality_classifier.py", "tot"),
+        #   1-row smoothing-total aggregates over the <= B-row model
+        ("importance_sampling.py", "_lpmap"),
+        ("quality_classifier.py", "_lomap"),
+        #   the fitted bucket models as ONE row carrying a
+        #   map<bucket, micro> of <= B = 256 entries — constant at any
+        #   corpus size (r20 row-local scoring rewrite)
+        ("quality_classifier.py", "prior"),
+        #   1-row NB class-prior aggregate
     }
     pkg = pathlib.Path(__file__).parent.parent / "etl_xlsx_potgres_spark" / "plans"
     offenders = []

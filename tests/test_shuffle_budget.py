@@ -118,12 +118,13 @@ BUDGETS = {
                                       # (asserted in tests/test_dpp.py)
     "xlsx_datasource_ingest": 1,      # one 4-key partial agg over the
                                       # per-file Python-data-source scan
-    "dsir_importance_weights": 5,     # (doc,bucket) featurize agg + raw/
-                                      # target/total model aggs over the one
-                                      # persisted count frame (<=B keys) +
-                                      # final doc rollup; bucket model joins
-                                      # back by broadcast
-    "dsir_select_topk": 5,            # same DAG; top-k is TakeOrdered, no
+    "dsir_importance_weights": 4,     # r20 row-local scoring: the <=B-key
+                                      # model-fit agg + tot/model-pack
+                                      # 1-row aggs over the persisted
+                                      # featurize frame; scoring itself is
+                                      # a map-side fold (no doc rollup, no
+                                      # model join)
+    "dsir_select_topk": 4,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
     "graph_triangle_count": 10,       # basket agg + edge distinct + degree
                                       # agg + orientation joins + neighbor
@@ -141,12 +142,12 @@ BUDGETS = {
                                       # runtime-reused, ReusedExchange
                                       # verified) + final seq_id agg; the
                                       # rest are <=256-row bucket frames
-    "quality_nb_scores": 7,           # (doc,bucket) featurize agg + pos/neg
-                                      # model agg + 1-row totals/prior aggs
-                                      # over the persisted count frame +
-                                      # doc rollup + final doc_id join;
-                                      # model joins back by broadcast
-    "quality_nb_confusion": 8,        # same DAG + the 4-row confusion agg
+    "quality_nb_scores": 5,           # r20 row-local scoring: <=B-key
+                                      # model-fit agg + 1-row totals/
+                                      # model-pack/prior aggs over the
+                                      # persisted featurize frame; no doc
+                                      # rollup, no final doc_id join
+    "quality_nb_confusion": 6,        # same DAG + the 4-row confusion agg
     "dedup_incremental_newbatch": 2,  # new-batch signature window + hits
                                       # rollup; the HISTORY side is read
                                       # from its bucketed store with zero
@@ -231,11 +232,12 @@ BUDGETS = {
                                       # n_candidates rollup plumbing;
                                       # cells/probes/counts are
                                       # constant-size broadcasts
-    "quality_domain_calibrated": 9,   # the NB scorer's featurize/fit
-                                      # shuffles + ONE (domain, bin)
-                                      # corpus histogram; band windows
-                                      # and the rollup run on the
-                                      # constant-size hist frame
+    "quality_domain_calibrated": 7,   # the NB scorer's featurize/fit
+                                      # shuffles (r20: two fewer — map-
+                                      # side scoring) + ONE (domain,
+                                      # bin) corpus histogram; band
+                                      # windows and the rollup run on
+                                      # the constant-size hist frame
     "dedup_incremental_simhash": 4,   # batch signature agg + probe
                                       # shuffle into the store's
                                       # bucketing + candidate distinct
