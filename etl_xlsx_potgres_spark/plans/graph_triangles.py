@@ -135,20 +135,27 @@ def triangle_summary(raw_edges: DataFrame) -> DataFrame:
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = scoped_persist(
-        with_deg.select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
     # adjacency-intersection close: triangles = sum over oriented
     # edges (u -> v) of |N+(u) ∩ N+(v)|. The wedge set is never
     # materialized or shuffled — each edge carries the two bounded
     # out-neighbor arrays (O(sqrt m) longs by the orientation bound)
     # and closes its wedges with one array_intersect, inside codegen.
-    nbrs = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    # r20: the edge side is EXPLODED back out of the persisted
+    # neighbor frame instead of re-joined against `oriented` on src —
+    # collect_list over the distinct oriented edges regenerates
+    # exactly that edge multiset with N+(src) already attached, so
+    # the src-keyed exchange+join disappears (plan: one exchange into
+    # the close join instead of two, and `oriented` drops to a single
+    # consumer, so `nbrs` takes over the persist).
+    nbrs = scoped_persist(
+        oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    )
     tri = (
-        oriented.join(nbrs, "src")
+        nbrs.select("src", "nb", F.explode("nb").alias("dst"))
         .join(
             nbrs.select(F.col("src").alias("dst"), F.col("nb").alias("nb_v")),
             "dst",

@@ -126,11 +126,14 @@ BUDGETS = {
                                       # model join)
     "dsir_select_topk": 4,            # same DAG; top-k is TakeOrdered, no
                                       # extra exchange
-    "graph_triangle_count": 10,       # basket agg + edge distinct + degree
+    "graph_triangle_count": 9,        # basket agg + edge distinct + degree
                                       # agg + orientation joins + neighbor
-                                      # collect + 2 close joins (vertex-
-                                      # keyed; arrays bounded by the
-                                      # orientation's sqrt(m) out-degree)
+                                      # collect + ONE close join (r20: the
+                                      # edge side explodes back out of the
+                                      # persisted neighbor frame, dropping
+                                      # the src-keyed exchange+join; arrays
+                                      # bounded by the orientation's
+                                      # sqrt(m) out-degree)
     "export_training_shards": 2,      # repartition(shard) for the write
                                       # + the read-back per-shard agg
     "agg_hll_distinct_mergeable": 4,  # exact-verifier 2-phase distinct
