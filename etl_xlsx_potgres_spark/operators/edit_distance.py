@@ -128,8 +128,12 @@ def levenshtein_pairs_blocked(
         )
         .distinct()
     )
+    # threshold form (r20): the 3-arg levenshtein runs the banded DP —
+    # O(k*n) cells per pair instead of O(n^2) — returning -1 past the
+    # bound and the EXACT distance within it, so kept rows are
+    # bit-identical to the unbounded form
     return (
-        cand.withColumn("dist", F.levenshtein("s1", "s2"))
-        .filter(F.col("dist") <= k)
+        cand.withColumn("dist", F.levenshtein("s1", "s2", k))
+        .filter(F.col("dist") >= 0)
         .select("d1", "d2", "dist")
     )

@@ -555,12 +555,14 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = c.select(
         F.col("c_custkey").alias("k2"), F.col("c_name").alias("n2"), "c_nationkey"
     )
-    dist = F.levenshtein("n1", "n2")
+    # threshold form (r20): banded DP, O(k*n) per pair; -1 past the
+    # bound, exact within it (see operators/edit_distance.py)
+    dist = F.levenshtein("n1", "n2", 2)
     return (
         a.join(b, "c_nationkey")
         .filter(F.col("k1") < F.col("k2"))
         .select("k1", "k2", dist.alias("dist"))
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") >= 0)
     )
 
 
