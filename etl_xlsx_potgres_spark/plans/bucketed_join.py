@@ -49,7 +49,11 @@ def _provision(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         path = os.path.join(_WH, name)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
+            # cluster by the bucket key first: one task per bucket ->
+            # ONE file per bucket at any upstream width (see
+            # dedup_incremental._provision_store, r20)
             load_table(spark, sf_dir, table)
+            .repartition(N_BUCKETS, key)
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, key)
             .sortBy(key)

@@ -171,7 +171,16 @@ def _provision_store(spark: SparkSession, sf_dir: str) -> str:
             F.col("doc_id") % 10 != 0
         )
         (
+            # cluster by the bucket column first (r20): a bucketed
+            # write emits one file per (upstream task x bucket), so a
+            # wide upstream (e.g. the intake respread) would leave
+            # multi-file buckets — which demotes the auto-bucketed
+            # scan and costs every probe its Exchange-free plan. The
+            # repartition maps each bucket to exactly one task (same
+            # Murmur3 hash), so the store is born with single sorted
+            # runs regardless of upstream width.
             _bands(_minhash_sig_df(d))
+            .repartition(N_BUCKETS, "band")
             .write.mode("overwrite")
             .bucketBy(N_BUCKETS, "band")
             .sortBy("band")

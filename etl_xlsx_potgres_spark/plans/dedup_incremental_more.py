@@ -119,7 +119,11 @@ def _provision(
         path = os.path.join(_store_root(spark), name)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            frame.write.mode("overwrite")
+            # cluster by the bucket column first: one task per bucket
+            # -> ONE file per bucket at any upstream width (see
+            # dedup_incremental._provision_store, r20)
+            frame.repartition(N_BUCKETS, bucket_col)
+            .write.mode("overwrite")
             .bucketBy(N_BUCKETS, bucket_col)
             .sortBy(bucket_col)
             .option("path", path)

@@ -64,8 +64,17 @@ def stats_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-cardinality aggregates derived from ONE shuffle over the
     corpus; marginal products are computed in doubles so no bigint
     overflow at any corpus size."""
+    from ..caching import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
-    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    # persisted: the cell frame is constant-cardinality (langs x
+    # sources) and feeds FOUR consumers (marginals, total, final
+    # join) — unpersisted, each consumer re-ran the corpus scan +
+    # aggregate subtree (r20; the intake respread made the recompute
+    # visible at 4x its cost)
+    o = scoped_persist(
+        d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    )
     r = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("rt"))
     c = o.groupBy("source").agg(F.sum("obs").cast("long").alias("ct"))
     n = o.agg(F.sum("obs").cast("long").alias("n"))
