@@ -722,12 +722,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out, compiles into a method too big for the JIT (never compiled,
     # ~24 us/pair). The UDF keeps per-row results bit-identical to the
     # oracle (sequential fold, see dot_pairs_pandas).
-    e1 = emb.select(
+    # broadcast sides read UNWIDENED (r20): the intake respread under
+    # a broadcast build is a pure extra exchange — these frames never
+    # fan out as tasks
+    emb_b = valid_vecs(load_table(spark, sf_dir, "embeddings", widen=False))
+    e1 = emb_b.select(
         F.col("vec_id").alias("v1"),
         F.col("embedding").alias("ea"),
         norm_flat("embedding").alias("na"),
     )
-    e2 = emb.select(
+    e2 = emb_b.select(
         F.col("vec_id").alias("v2"),
         F.col("embedding").alias("eb"),
         norm_flat("embedding").alias("nb"),

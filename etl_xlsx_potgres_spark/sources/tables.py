@@ -247,6 +247,7 @@ def load_table(
     sf_dir: str,
     name: str,
     widen_key: str | None = None,
+    widen: bool = True,
 ) -> DataFrame:
     """Read one test table with its declared schema.
 
@@ -255,7 +256,9 @@ def load_table(
     or sketch partial aggregation buffering every row) — A/B'd per
     call site, because for cheap-projection consumers the extra
     exchange is a net loss. Still layout-gated: a no-op whenever the
-    file layout already provides enough row groups.
+    file layout already provides enough row groups. ``widen=False``
+    opts OUT for frames that are about to be BROADCAST — a respread
+    under a broadcast build is pure overhead.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name in _NANOS_TS_COLS and _has_nanos_ts(path, _NANOS_TS_COLS[name]):
@@ -263,10 +266,11 @@ def load_table(
         df = spark.read.schema(_RAW_SCHEMAS[name]).parquet(path)
         for c in _NANOS_TS_COLS[name]:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-        return _widen_intake(df, path, name, widen_key)
-    return _widen_intake(
-        spark.read.schema(SCHEMAS[name]).parquet(path), path, name, widen_key
-    )
+    else:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+    if not widen:
+        return df
+    return _widen_intake(df, path, name, widen_key)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
