@@ -136,10 +136,12 @@ def linkage_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dirty_id",
             "c_custkey",
-            F.levenshtein("dd", "d").alias("dist"),
+            # threshold form (r20): banded DP, O(k*n) per candidate;
+            # -1 past the bound, exact within it — kept rows identical
+            F.levenshtein("dd", "d", 2).alias("dist"),
             F.abs(F.col("dirty_bal") - F.col("c_acctbal")).alias("bal_diff"),
         )
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") >= 0)
     )
     best = cand.groupBy("dirty_id").agg(
         F.min(F.struct("dist", "bal_diff", "c_custkey")).alias("b")
