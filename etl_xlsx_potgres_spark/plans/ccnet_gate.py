@@ -81,7 +81,8 @@ GROUP BY 1, 2
 
 @register("quality_ccnet_gate", oracle=_ORACLE)
 def quality_ccnet_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # widen=False: light map work, respread is net loss (A/B r20)
+    d = load_table(spark, sf_dir, "documents", widen=False)
     toks = tokens("text")
     scored = d.select(
         "lang",

@@ -60,7 +60,8 @@ _DUCK_SHINGLES = (
     """,
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # widen=False: light map work, respread is net loss (A/B r20)
+    d = load_table(spark, sf_dir, "documents", widen=False)
     return (
         d.select("doc_id", fingerprint("text").alias("fp"))
         .groupBy("fp")

@@ -39,7 +39,8 @@ _SCALE = 7
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # widen=False: light map work, respread is net loss (A/B r20)
+    e = load_table(spark, sf_dir, "embeddings", widen=False)
     long = e.select(
         "label", F.posexplode("embedding").alias("dim", "val")
     ).withColumn("val", F.col("val").cast("double"))
