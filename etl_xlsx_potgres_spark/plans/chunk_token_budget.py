@@ -199,9 +199,13 @@ def _chunked_short(costed: DataFrame) -> DataFrame:
     # one-pass struct-accumulator fold (r20): the old per-element
     # slice+fold recomputed each prefix from scratch — O(n_words^2)
     # interpreted adds per document; the accumulator carries (running
-    # sum, emitted cids) so each element costs one add + one array
-    # append (bit-identical: same exact bigint prefix sums, A/B'd at
-    # sf0.1 with 0 differing rows; isolated cids stage ~3x faster)
+    # sum, emitted cids) so each element costs one add plus a
+    # concat(acc.a, array(...)) — the concat still copies the
+    # accumulator array, so memory ops stay O(n^2) per doc (bounded by
+    # the LONG_DOC_WORDS gate); the win is dropping the O(n^2)
+    # interpreted ADDS (bit-identical: same exact bigint prefix sums,
+    # A/B'd at sf0.1 with 0 differing rows; isolated cids stage ~3x
+    # faster)
     prefixed = costed.filter(F.size("costs") < LONG_DOC_WORDS).select(
         "doc_id",
         "toks",

@@ -688,7 +688,15 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # zero-norm/NULL guard (r19): a NULL embedding crashes the Arrow
     # signature UDF's np.stack, and a zero-norm one NaNs its cosines
-    emb = valid_vecs(load_table(spark, sf_dir, "embeddings"))
+    # widen=False (r21): the r20 round widened this read to spread the
+    # Arrow signature UDF, but the driver regressed 0.69x — the r20
+    # probe compared against a post-widen baseline, never the true r19
+    # shape. Interleaved env A/B at sf0.1 (n=5): fully unwidened
+    # median 1.40 s vs widened 1.51 s, and the widened COLD run was
+    # 5.7 s vs 1.6 s (the extra exchange + stages recompile every
+    # bench pass 1). The signature frame is persisted right below, so
+    # the UDF cost is paid once either way.
+    emb = valid_vecs(load_table(spark, sf_dir, "embeddings", widen=False))
     # band rows are SLIM (vec_id, band, 4-bit key): the candidate
     # shuffle and distinct never carry vectors — the arrays join back
     # afterwards (broadcast here; id-keyed shuffle join at 100 TB)

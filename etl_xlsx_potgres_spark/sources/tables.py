@@ -220,8 +220,14 @@ def _row_groups(path: str) -> int:
         )
         n = sum(pq.ParquetFile(p).metadata.num_row_groups for p in parts)
     except Exception:
-        # unreadable footer: report "plenty" so the remedy stays off
-        n = 1 << 30
+        # unreadable footer (missing pyarrow, transient read error):
+        # report "plenty" so the remedy stays off for THIS call, but
+        # do NOT cache the sentinel — a transient failure must not
+        # permanently disarm the widening for the process lifetime
+        # (ADVICE r20). Cached entries are keyed by path only; table
+        # files are immutable within a session (the tests that rewrite
+        # layouts poison the cache deliberately).
+        return 1 << 30
     _ROW_GROUP_CACHE[path] = n
     return n
 
