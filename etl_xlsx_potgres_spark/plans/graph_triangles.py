@@ -120,8 +120,17 @@ def triangle_summary(raw_edges: DataFrame) -> DataFrame:
     from ..caching import scoped_persist
 
     edges = scoped_persist(raw_edges)
-    # undirected degrees; the orientation key is (degree, id)
-    deg = (
+    # undirected degrees; the orientation key is (degree, id).
+    # persisted (r21): deg feeds THREE consumers (both attach joins +
+    # the verts summary) and was recomputed per consumer — the r20
+    # after-plan shows the union+aggregate subtree three times.
+    # |V|-bounded (2 longs/vertex). A/B at sf0.1 (n=5 medians):
+    # 2.80 -> 2.59 s; the window-over-endpoints reshape the r20 notes
+    # scouted (explode endpoints, count window, regroup to (u,v))
+    # measured 2.71 s — the two broadcast attach joins against the
+    # persisted frame beat its two corpus-edge exchanges, so the
+    # reshape was measured and rejected.
+    deg = scoped_persist(
         edges.select(F.col("u").alias("w"))
         .unionAll(edges.select(F.col("v").alias("w")))
         .groupBy("w")
