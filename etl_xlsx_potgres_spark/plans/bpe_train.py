@@ -142,7 +142,16 @@ def _merge_rounds(words: DataFrame) -> list[DataFrame]:
             .groupBy("pair")
             .agg(F.sum("cnt").cast("long").alias("c"))
         )
-        top = (
+        # persisted (r21): round k's 1-row winner is referenced by
+        # EVERY later round's replace chain and again by the final
+        # merges-row crossJoin, and Spark has no common-subexpression
+        # elimination across those references — the vocab-scale pair
+        # aggregate re-ran O(rounds^2) times. One-row frames, so the
+        # persist is free. A/B at sf0.1 (n=4 medians): bpe_merge_rounds
+        # 1.13 -> 0.95 s (cold 6.37 -> 1.31), tokenizer_fertility
+        # 1.45 -> 1.29, fertility_by_source 1.77 -> 1.59,
+        # chunk_token_budget_udtf 1.63 -> 1.39.
+        top = scoped_persist(
             pairs.orderBy(F.desc("c"), F.asc("pair"))
             .limit(1)
             .select(
